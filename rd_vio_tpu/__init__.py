@@ -1,0 +1,28 @@
+"""rd_vio_tpu — a TPU-native RD-VIO engine (JAX/XLA/Pallas), built from scratch.
+
+A brand-new implementation of the RD-VIO visual-inertial odometry algorithm
+(reference behavior: /root/reference, SummerSigh/rd_vio) designed TPU-first:
+
+- All estimation math is pure-functional JAX over fixed-shape struct-of-array
+  pytrees (no pointer graphs, no Ceres).
+- The sliding-window bundle adjustment is a batched Levenberg-Marquardt solver
+  whose residual/Jacobian assembly and Schur reduction are MXU matmuls.
+- The RANSAC/PARSAC/IMU-PARSAC family runs as fixed-iteration batched
+  hypothesis kernels.
+- Image-frontend kernels (pyramid, CLAHE, GFTT, pyramidal LK) are
+  JAX/Pallas programs in f32.
+- Multi-chip scaling shards the landmark Schur reduction over a
+  `jax.sharding.Mesh` with XLA collectives.
+
+Estimation math runs in float64 (the reference is all-double and the
+marginalization/triangulation conditioning demands it); x64 is enabled at
+package import. Image kernels explicitly use f32.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from rd_vio_tpu.config import Config, load_config  # noqa: E402,F401

@@ -1,0 +1,283 @@
+"""Configuration for the TPU-native RD-VIO engine.
+
+Mirrors every knob of the reference's abstract ``Config``
+(reference: src/rdvio/include/rdvio/types.h:91-151, src/rdvio/src/config.cpp:8-73)
+with the same names and code defaults, and loads the same two-file YAML schema
+(algorithm settings + sensor calibration, e.g. configs/setting.yaml and
+configs/euroc_sensor.yaml of the reference) so reference configs work unchanged.
+
+Quaternions in YAML are [x, y, z, w] (Eigen coeff order, as in the reference);
+internally we store wxyz (see rd_vio_tpu.ops.lie).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import math
+from typing import Optional
+
+import numpy as np
+
+GRAVITY_NOMINAL = 9.80665  # reference: src/rdvio/include/rdvio/types.h:26
+
+
+def _xyzw_to_wxyz(q_xyzw) -> np.ndarray:
+    q = np.asarray(q_xyzw, dtype=np.float64)
+    return np.array([q[3], q[0], q[1], q[2]], dtype=np.float64)
+
+
+@dataclasses.dataclass
+class Config:
+    """All tunables, defaults matching reference config.cpp:8-73."""
+
+    # --- camera calibration (reference: yaml_config.cpp cam0 block) ---
+    camera_intrinsic: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array(
+            [[500.0, 0.0, 376.0], [0.0, 500.0, 240.0], [0.0, 0.0, 1.0]]
+        )
+    )  # 3x3 K
+    camera_distortion_flag: int = 0
+    camera_distortion_model: str = "radtan"  # "radtan" | "equidistant"
+    camera_distortion: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4)
+    )  # k1 k2 p1 p2
+    camera_resolution: tuple = (752, 480)
+    camera_time_offset: float = 0.0
+    camera_to_body_rotation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0])
+    )  # wxyz, q_bc
+    camera_to_body_translation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )  # p_bc
+    keypoint_noise_cov: np.ndarray = dataclasses.field(
+        default_factory=lambda: 0.5 * np.eye(2)
+    )  # [px^2]
+
+    # --- imu calibration ---
+    imu_to_body_rotation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0])
+    )  # wxyz, q_bi
+    imu_to_body_translation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )  # p_bi
+    gyroscope_noise_cov: np.ndarray = dataclasses.field(
+        default_factory=lambda: 1e-4 * np.eye(3)
+    )
+    accelerometer_noise_cov: np.ndarray = dataclasses.field(
+        default_factory=lambda: 1e-2 * np.eye(3)
+    )
+    gyroscope_bias_noise_cov: np.ndarray = dataclasses.field(
+        default_factory=lambda: 1e-8 * np.eye(3)
+    )
+    accelerometer_bias_noise_cov: np.ndarray = dataclasses.field(
+        default_factory=lambda: 1e-6 * np.eye(3)
+    )
+
+    # --- output frame ---
+    output_to_body_rotation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0])
+    )  # wxyz, q_bo
+    output_to_body_translation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )  # p_bo
+
+    # --- sliding window (reference config.cpp:17-21) ---
+    sliding_window_size: int = 10
+    sliding_window_subframe_size: int = 3
+    sliding_window_force_keyframe_landmarks: int = 35
+    sliding_window_tracker_frequent: int = 1
+
+    # --- feature tracker (config.cpp:23-37) ---
+    feature_tracker_min_keypoint_distance: float = 20.0
+    feature_tracker_max_keypoint_detection: int = 150
+    feature_tracker_max_init_frames: int = 60
+    feature_tracker_max_frames: int = 200
+    feature_tracker_clahe_clip_limit: float = 6.0
+    feature_tracker_clahe_width: int = 8
+    feature_tracker_clahe_height: int = 8
+    feature_tracker_predict_keypoints: bool = True
+
+    # --- initializer (config.cpp:39-51) ---
+    initializer_keyframe_num: int = 8
+    initializer_keyframe_gap: int = 5
+    initializer_min_matches: int = 50
+    initializer_min_parallax: float = 10.0
+    initializer_min_triangulation: int = 50
+    initializer_min_landmarks: int = 30
+    initializer_refine_imu: bool = True
+
+    # --- solver (config.cpp:53-55) ---
+    solver_iteration_limit: int = 10
+    solver_time_limit: float = 1.0e6
+
+    # --- rotation detector (config.cpp:57-59) ---
+    rotation_misalignment_threshold: float = 0.1
+    rotation_ransac_threshold: float = 10.0  # degrees
+
+    # --- randomness (config.cpp:61) ---
+    random: int = 648
+
+    # --- parsac (config.cpp:63-71) ---
+    parsac_flag: bool = False
+    parsac_dynamic_probability: float = 0.0
+    parsac_threshold: float = 3.0
+    parsac_norm_scale: float = 1.0
+    parsac_keyframe_check_size: int = 3
+
+    # --- TPU-build capacities (new; fixed shapes for jit) ---
+    max_keypoints: int = 256  # K_max per frame (>= max_keypoint_detection)
+    max_landmarks: int = 768  # L_max in the sliding window map
+    max_observations: int = 4096  # O_max reprojection factor slots per solve
+    max_imu_per_interval: int = 64  # IMU samples per frame-to-frame interval
+    ransac_hypotheses: int = 256  # K batched hypotheses per robust solve
+    solver_dtype: str = "float64"
+
+    def solver_np_dtype(self):
+        return np.dtype(self.solver_dtype)
+
+
+def _load_opencv_yaml(path: str) -> dict:
+    """Load an OpenCV-style YAML (tolerates the '%YAML:1.0' directive)."""
+    import yaml
+
+    with open(path, "r") as f:
+        text = f.read()
+    lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
+    return yaml.safe_load(io.StringIO("\n".join(lines))) or {}
+
+
+def load_config(sensor_yaml: Optional[str] = None, setting_yaml: Optional[str] = None) -> Config:
+    """Build a Config from the reference's two YAML files.
+
+    Mirrors reference src/rdvio_extra/src/yaml_config.cpp:82-339: every field
+    defaults from code defaults then is overridden by the YAML when present.
+    """
+    cfg = Config()
+    if setting_yaml:
+        d = _load_opencv_yaml(setting_yaml)
+        _apply_settings(cfg, d)
+    if sensor_yaml:
+        d = _load_opencv_yaml(sensor_yaml)
+        _apply_sensor(cfg, d)
+    return cfg
+
+
+def _get(d: dict, *path, default=None):
+    cur = d
+    for k in path:
+        if not isinstance(cur, dict) or k not in cur:
+            return default
+        cur = cur[k]
+    return cur
+
+
+def _apply_settings(cfg: Config, d: dict) -> None:
+    def set_if(attr, *path, cast=None):
+        v = _get(d, *path)
+        if v is not None:
+            setattr(cfg, attr, cast(v) if cast else v)
+
+    q_bo = _get(d, "output", "q_bo")
+    if q_bo is not None:
+        cfg.output_to_body_rotation = _xyzw_to_wxyz(q_bo)
+    p_bo = _get(d, "output", "p_bo")
+    if p_bo is not None:
+        cfg.output_to_body_translation = np.asarray(p_bo, dtype=np.float64)
+
+    set_if("sliding_window_size", "sliding_window", "size", cast=int)
+    set_if("sliding_window_subframe_size", "sliding_window", "subframe_size", cast=int)
+    set_if(
+        "sliding_window_force_keyframe_landmarks",
+        "sliding_window",
+        "force_keyframe_landmarks",
+        cast=int,
+    )
+    set_if(
+        "sliding_window_tracker_frequent",
+        "sliding_window",
+        "tracker_frequent",
+        cast=int,
+    )
+
+    ft = "feature_tracker"
+    set_if("feature_tracker_min_keypoint_distance", ft, "min_keypoint_distance", cast=float)
+    set_if("feature_tracker_max_keypoint_detection", ft, "max_keypoint_detection", cast=int)
+    set_if("feature_tracker_max_init_frames", ft, "max_init_frames", cast=int)
+    set_if("feature_tracker_max_frames", ft, "max_frames", cast=int)
+    set_if("feature_tracker_predict_keypoints", ft, "predict_keypoints", cast=bool)
+    set_if("feature_tracker_clahe_clip_limit", ft, "clahe_clip_limit", cast=float)
+    set_if("feature_tracker_clahe_width", ft, "clahe_width", cast=int)
+    set_if("feature_tracker_clahe_height", ft, "clahe_height", cast=int)
+
+    ini = "initializer"
+    set_if("initializer_keyframe_num", ini, "keyframe_num", cast=int)
+    set_if("initializer_keyframe_gap", ini, "keyframe_gap", cast=int)
+    set_if("initializer_min_matches", ini, "min_matches", cast=int)
+    set_if("initializer_min_parallax", ini, "min_parallax", cast=float)
+    set_if("initializer_min_triangulation", ini, "min_triangulation", cast=int)
+    set_if("initializer_min_landmarks", ini, "min_landmarks", cast=int)
+    set_if("initializer_refine_imu", ini, "refine_imu", cast=bool)
+
+    set_if("solver_iteration_limit", "solver", "iteration_limit", cast=int)
+    set_if("solver_time_limit", "solver", "time_limit", cast=float)
+
+    set_if("rotation_misalignment_threshold", "rotation", "misalignment_threshold", cast=float)
+    set_if("rotation_ransac_threshold", "rotation", "ransac_threshold", cast=float)
+
+    set_if("parsac_flag", "parsac", "parsac_flag", cast=bool)
+    set_if("parsac_dynamic_probability", "parsac", "dynamic_probability", cast=float)
+    set_if("parsac_threshold", "parsac", "threshold", cast=float)
+    set_if("parsac_norm_scale", "parsac", "norm_scale", cast=float)
+    set_if("parsac_keyframe_check_size", "parsac", "keyframe_check_size", cast=int)
+
+
+def _apply_sensor(cfg: Config, d: dict) -> None:
+    # imu block (reference yaml_config.cpp:141-201)
+    q_bi = _get(d, "imu", "extrinsic", "q_bi")
+    if q_bi is not None:
+        cfg.imu_to_body_rotation = _xyzw_to_wxyz(q_bi)
+    p_bi = _get(d, "imu", "extrinsic", "p_bi")
+    if p_bi is not None:
+        cfg.imu_to_body_translation = np.asarray(p_bi, dtype=np.float64)
+    for attr, key in [
+        ("gyroscope_noise_cov", "cov_g"),
+        ("accelerometer_noise_cov", "cov_a"),
+        ("gyroscope_bias_noise_cov", "cov_bg"),
+        ("accelerometer_bias_noise_cov", "cov_ba"),
+    ]:
+        v = _get(d, "imu", "noise", key)
+        if v is not None:
+            setattr(cfg, attr, np.asarray(v, dtype=np.float64).reshape(3, 3))
+
+    # cam0 block
+    intr = _get(d, "cam0", "intrinsics")
+    if intr is not None:
+        fu, fv, cu, cv = [float(x) for x in intr]
+        cfg.camera_intrinsic = np.array(
+            [[fu, 0.0, cu], [0.0, fv, cv], [0.0, 0.0, 1.0]]
+        )
+    res = _get(d, "cam0", "resolution")
+    if res is not None:
+        cfg.camera_resolution = (int(res[0]), int(res[1]))
+    flag = _get(d, "cam0", "camera_distortion_flag")
+    if flag is not None:
+        cfg.camera_distortion_flag = int(flag)
+    dist_model = _get(d, "cam0", "distortion_model")
+    if dist_model is not None:
+        cfg.camera_distortion_model = str(dist_model)
+    dist = _get(d, "cam0", "distortion")
+    if dist is not None:
+        cfg.camera_distortion = np.asarray(dist, dtype=np.float64)[:4]
+    toff = _get(d, "cam0", "time_offset")
+    if toff is not None:
+        cfg.camera_time_offset = float(toff)
+    q_bc = _get(d, "cam0", "extrinsic", "q_bc")
+    if q_bc is not None:
+        cfg.camera_to_body_rotation = _xyzw_to_wxyz(q_bc)
+    p_bc = _get(d, "cam0", "extrinsic", "p_bc")
+    if p_bc is not None:
+        cfg.camera_to_body_translation = np.asarray(p_bc, dtype=np.float64)
+    noise = _get(d, "cam0", "noise")
+    if noise is not None:
+        cfg.keypoint_noise_cov = np.asarray(noise, dtype=np.float64).reshape(2, 2)
