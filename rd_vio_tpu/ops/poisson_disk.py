@@ -1,0 +1,66 @@
+"""Poisson-disk min-distance filtering for keypoint spacing.
+
+Behavioral reference: /root/reference/src/rdvio_util/include/rdvio/util/
+poisson_disk_filter.h:22-56 (sparse grid hash, preset_point / permit_point /
+insert_points) — used to space GFTT detections (opencv_image.cpp:38-73) and to
+re-filter tracked keypoints by track-length priority (frame.cpp:134-161).
+
+TPU-first design: a greedy `lax.scan` over priority-ordered candidates with a
+dense occupancy grid carry. Cell size r/sqrt(2) guarantees at most one accepted
+point per cell, so a 5x5 neighborhood check covers all points within distance
+r. Fixed shapes: the image size and radius are static config, candidates are
+masked padded arrays. Points are processed in the order given — callers sort
+by priority (detection response / track length) first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def poisson_disk_filter(
+    points, valid, min_distance: float, width: float, height: float, preset_count: int = 0
+):
+    """Greedy min-distance acceptance over priority-ordered points.
+
+    Args:
+      points: (N, 2) pixel coords, highest priority first; the first
+        `preset_count` rows are preset points (always inserted, reference
+        poisson_disk_filter.h preset_point) — e.g. already-tracked keypoints.
+      valid: (N,) mask.
+      min_distance, width, height: static Python floats.
+
+    Returns accept mask (N,) (presets report their own validity).
+    """
+    r = float(min_distance)
+    cell = r / math.sqrt(2.0)
+    gx = int(math.ceil(width / cell)) + 4
+    gy = int(math.ceil(height / cell)) + 4
+    dtype = points.dtype
+
+    grid_pts = jnp.zeros((gy, gx, 2), dtype)
+    grid_occ = jnp.zeros((gy, gx), jnp.bool_)
+    is_preset = jnp.arange(points.shape[0]) < preset_count
+
+    def body(carry, inp):
+        gp, go = carry
+        p, ok, preset = inp
+        cj = jnp.clip((p[0] / cell).astype(jnp.int32) + 2, 2, gx - 3)
+        ci = jnp.clip((p[1] / cell).astype(jnp.int32) + 2, 2, gy - 3)
+        # 5x5 neighborhood
+        zero = jnp.zeros((), jnp.int32)
+        np_ = jax.lax.dynamic_slice(gp, (ci - 2, cj - 2, zero), (5, 5, 2))
+        no_ = jax.lax.dynamic_slice(go, (ci - 2, cj - 2), (5, 5))
+        d2 = jnp.sum((np_ - p) ** 2, axis=-1)
+        conflict = jnp.any(no_ & (d2 < r * r))
+        accept = ok & (preset | ~conflict)
+        # insert accepted point into its cell
+        gp = jnp.where(accept, gp.at[ci, cj].set(p), gp)
+        go = jnp.where(accept, go.at[ci, cj].set(True), go)
+        return (gp, go), accept
+
+    (_, _), accepted = jax.lax.scan(body, (grid_pts, grid_occ), (points, valid, is_preset))
+    return accepted
