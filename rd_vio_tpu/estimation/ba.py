@@ -1,0 +1,333 @@
+"""Batched Levenberg-Marquardt sliding-window VI-BA solver.
+
+Replaces the reference's Ceres facade (src/rdvio_estimation/src/solver.cpp:
+SPARSE_SCHUR + DOGLEG, CauchyLoss(1.0) on vision factors, iteration budget from
+config) with a TPU-first design (SURVEY.md §2 L3):
+
+- All factor residuals/Jacobians are vmapped pure functions (autodiff through
+  the tangent retraction; see factors.py).
+- Per-factor local Jacobians are scattered into dense rows over the full
+  camera-state vector (D = W*15 <= ~200), so the normal equations are two big
+  MXU matmuls: H = J^T W J, g = J^T W r.
+- Landmarks (scalar inverse depth) are Schur-eliminated analytically per track
+  via segment-sums, exactly like the reference marginalization already does
+  (ceres/marginalization_factor.h:233-398) — here for the solve itself.
+- The damped reduced system is solved by Cholesky (f64; LU is unsupported on
+  TPU). Robust loss = Cauchy(1.0) IRLS reweighting on vision rows.
+- Fixed states (FT_FIX_POSE / FT_FIX_MOTION, constant anchors in prior-flavor
+  factors, non-optimized landmarks) are handled by masking Jacobian columns —
+  the moral equivalent of Ceres' SetParameterBlockConstant.
+
+Everything is fixed-shape; invalid factor slots carry zero weight.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rd_vio_tpu.estimation import factors as F
+from rd_vio_tpu.estimation.state import ES_SIZE, FrameStates, retract
+from rd_vio_tpu.ops.lie import expmap, quat_mul, quat_normalize
+from rd_vio_tpu.ops.preintegration import PreintDelta
+
+
+class BAProblem(NamedTuple):
+    reproj: F.ReprojFactors
+    imu: F.ImuFactors
+    rot: F.RotFactors
+    prior: F.PriorFactor
+    prior_valid: jnp.ndarray  # scalar bool — include the prior term?
+    ext: F.Extrinsics
+    sqrt_inv_cov2: jnp.ndarray  # (2, 2) K-scaled pixel whitening
+    opt_pose: jnp.ndarray  # (W,) bool
+    opt_motion: jnp.ndarray  # (W,) bool
+    opt_lm: jnp.ndarray  # (L,) bool
+
+
+class BAResult(NamedTuple):
+    states: FrameStates
+    inv_depth: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# linearization
+# ---------------------------------------------------------------------------
+
+
+def _scatter_frame_block(J_local, frame_idx, W, pose_only=True):
+    """Scatter per-factor local Jacobian blocks into dense (R, W*15) rows.
+
+    J_local: (N, r, 6) (pose) or (N, r, 15); frame_idx: (N,).
+    One-hot matmul keeps this an MXU op rather than a gather/scatter.
+    """
+    n, r, b = J_local.shape
+    if b < ES_SIZE:
+        J_local = jnp.pad(J_local, ((0, 0), (0, 0), (0, ES_SIZE - b)))
+    onehot = jax.nn.one_hot(frame_idx, W, dtype=J_local.dtype)  # (N, W)
+    out = onehot[:, None, :, None] * J_local[:, :, None, :]  # (N, r, W, 15)
+    return out.reshape(n, r, W * ES_SIZE)
+
+
+def linearize_reprojection(states: FrameStates, inv_depth, pb: BAProblem):
+    """Returns (r (O,2), Jc (O,2,D), Jl (O,2))."""
+    rf = pb.reproj
+    W = states.q.shape[0]
+
+    q_t, p_t = states.q[rf.tgt], states.p[rf.tgt]
+    q_r, p_r = states.q[rf.ref], states.p[rf.ref]
+    invd = jnp.maximum(inv_depth[rf.lm], 1e-12)
+
+    def local(d, q_tgt, p_tgt, q_ref, p_ref, idp, z_r, z_t):
+        q_tgt2 = quat_mul(q_tgt, expmap(d[0:3]))
+        p_tgt2 = p_tgt + d[3:6]
+        q_ref2 = quat_mul(q_ref, expmap(d[6:9]))
+        p_ref2 = p_ref + d[9:12]
+        idp2 = idp + d[12]
+        return F.reprojection_residual(
+            q_tgt2, p_tgt2, q_ref2, p_ref2, idp2, z_r, z_t, pb.ext, pb.sqrt_inv_cov2
+        )
+
+    zeros = jnp.zeros((rf.tgt.shape[0], 13), q_t.dtype)
+    r = jax.vmap(local)(zeros, q_t, p_t, q_r, p_r, invd, rf.z_ref, rf.z_tgt)
+    J = jax.vmap(jax.jacfwd(local))(zeros, q_t, p_t, q_r, p_r, invd, rf.z_ref, rf.z_tgt)
+    # (O, 2, 13) -> tgt pose 0:6, ref pose 6:12, invd 12
+    Jc = _scatter_frame_block(J[:, :, 0:6], rf.tgt, W) + _scatter_frame_block(
+        J[:, :, 6:12], rf.ref, W
+    )
+    Jl = J[:, :, 12]
+    return r, Jc, Jl
+
+
+def linearize_imu(states: FrameStates, pb: BAProblem):
+    """Returns (r (F,15), Jc (F,15,D))."""
+    mf = pb.imu
+    W = states.q.shape[0]
+    si = jax.tree_util.tree_map(lambda a: a[mf.i], states)
+    sj = jax.tree_util.tree_map(lambda a: a[mf.j], states)
+
+    def local(d, qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, delta, sic, bg0, ba0):
+        di, dj = d[:15], d[15:]
+        qi2 = quat_mul(qi, expmap(di[0:3]))
+        qj2 = quat_mul(qj, expmap(dj[0:3]))
+        return F.preintegration_residual(
+            qi2, pi + di[3:6], vi + di[6:9], bgi + di[9:12], bai + di[12:15],
+            qj2, pj + dj[3:6], vj + dj[6:9], bgj + dj[9:12], baj + dj[12:15],
+            delta, sic, bg0, ba0, pb.ext,
+        )
+
+    zeros = jnp.zeros((mf.i.shape[0], 30), states.q.dtype)
+    args = (
+        si.q, si.p, si.v, si.bg, si.ba, sj.q, sj.p, sj.v, sj.bg, sj.ba,
+        mf.delta, mf.sqrt_inv_cov, mf.bg0, mf.ba0,
+    )
+    r = jax.vmap(local)(zeros, *args)
+    J = jax.vmap(jax.jacfwd(local))(zeros, *args)
+    Jc = _scatter_frame_block(J[:, :, :15], mf.i, W) + _scatter_frame_block(
+        J[:, :, 15:], mf.j, W
+    )
+    return r, Jc
+
+
+def linearize_rot(states: FrameStates, pb: BAProblem):
+    rf = pb.rot
+    W = states.q.shape[0]
+    q_t = states.q[rf.tgt]
+
+    def local(d, q_tgt, q_ref, z_r, z_t):
+        q_tgt2 = quat_mul(q_tgt, expmap(d))
+        return F.rotation_prior_residual(q_tgt2, q_ref, z_r, z_t, pb.ext, pb.sqrt_inv_cov2)
+
+    zeros = jnp.zeros((rf.tgt.shape[0], 3), q_t.dtype)
+    r = jax.vmap(local)(zeros, q_t, rf.q_ref, rf.z_ref, rf.z_tgt)
+    J3 = jax.vmap(jax.jacfwd(local))(zeros, q_t, rf.q_ref, rf.z_ref, rf.z_tgt)
+    Jc = _scatter_frame_block(J3, rf.tgt, W)  # pads cols 3:15 with zeros
+    return r, Jc
+
+
+def linearize_prior(states: FrameStates, pb: BAProblem):
+    W = states.q.shape[0]
+    D = W * ES_SIZE
+
+    def local(dflat):
+        s2 = retract(states, dflat.reshape(W, ES_SIZE))
+        return F.prior_residual(s2, pb.prior)
+
+    zeros = jnp.zeros((D,), states.q.dtype)
+    r = local(zeros)
+    J = jax.jacfwd(local)(zeros)
+    w = pb.prior_valid.astype(r.dtype)
+    return r * w, J * w
+
+
+# ---------------------------------------------------------------------------
+# cost
+# ---------------------------------------------------------------------------
+
+
+def _cauchy_rho(s):
+    """Ceres CauchyLoss(1.0): rho(s) = log(1 + s) (reference solver.cpp:37)."""
+    return jnp.log1p(s)
+
+
+def compute_cost(states, inv_depth, pb: BAProblem):
+    """0.5 * (sum_vision rho(|r|^2) + sum_imu |r|^2 + |r_prior|^2)."""
+    rf = pb.reproj
+    q_t, p_t = states.q[rf.tgt], states.p[rf.tgt]
+    q_r, p_r = states.q[rf.ref], states.p[rf.ref]
+    invd = jnp.maximum(inv_depth[rf.lm], 1e-12)
+    r_v = jax.vmap(
+        lambda a, b, c, d, e, f, g: F.reprojection_residual(
+            a, b, c, d, e, f, g, pb.ext, pb.sqrt_inv_cov2
+        )
+    )(q_t, p_t, q_r, p_r, invd, rf.z_ref, rf.z_tgt)
+    s_v = jnp.sum(r_v * r_v, axis=-1)
+    c_v = jnp.sum(jnp.where(rf.valid, _cauchy_rho(s_v), 0.0))
+
+    mf = pb.imu
+    si = jax.tree_util.tree_map(lambda a: a[mf.i], states)
+    sj = jax.tree_util.tree_map(lambda a: a[mf.j], states)
+    r_m = jax.vmap(
+        lambda *a: F.preintegration_residual(*a, pb.ext)
+    )(si.q, si.p, si.v, si.bg, si.ba, sj.q, sj.p, sj.v, sj.bg, sj.ba,
+      mf.delta, mf.sqrt_inv_cov, mf.bg0, mf.ba0)
+    c_m = jnp.sum(jnp.where(mf.valid, jnp.sum(r_m * r_m, axis=-1), 0.0))
+
+    ro = pb.rot
+    r_r = jax.vmap(
+        lambda a, b, c, d: F.rotation_prior_residual(a, b, c, d, pb.ext, pb.sqrt_inv_cov2)
+    )(states.q[ro.tgt], ro.q_ref, ro.z_ref, ro.z_tgt)
+    s_r = jnp.sum(r_r * r_r, axis=-1)
+    c_r = jnp.sum(jnp.where(ro.valid, _cauchy_rho(s_r), 0.0))
+
+    r_p = F.prior_residual(states, pb.prior) * pb.prior_valid.astype(r_v.dtype)
+    c_p = jnp.sum(r_p * r_p)
+
+    return 0.5 * (c_v + c_m + c_r + c_p)
+
+
+# ---------------------------------------------------------------------------
+# normal equations + Schur
+# ---------------------------------------------------------------------------
+
+
+def _col_mask(pb: BAProblem, W, dtype):
+    pose = jnp.repeat(pb.opt_pose.astype(dtype), 6).reshape(W, 6)
+    motion = jnp.repeat(pb.opt_motion.astype(dtype), 9).reshape(W, 9)
+    return jnp.concatenate([pose, motion], axis=-1).reshape(-1)  # (D,)
+
+
+def build_normal_system(states, inv_depth, pb: BAProblem):
+    """Linearize everything and build (H, g, Hll, Hcl, bl, cost)."""
+    W = states.q.shape[0]
+    D = W * ES_SIZE
+    dtype = states.q.dtype
+    L = inv_depth.shape[0]
+    cmask = _col_mask(pb, W, dtype)
+
+    # --- vision rows (Cauchy IRLS) ---
+    r_v, Jc_v, Jl_v = linearize_reprojection(states, inv_depth, pb)
+    s_v = jnp.sum(r_v * r_v, axis=-1)
+    w_v = jnp.where(pb.reproj.valid, 1.0 / (1.0 + s_v), 0.0)  # rho'(s)
+    sw_v = jnp.sqrt(w_v)[:, None]
+    Jl_v = Jl_v * pb.opt_lm[pb.reproj.lm].astype(dtype)[:, None]
+    rv = (r_v * sw_v).reshape(-1)
+    Jv = (Jc_v * sw_v[..., None]).reshape(-1, D) * cmask[None, :]
+    Jlv = (Jl_v * sw_v).reshape(-1)
+    lm_rows = jnp.repeat(pb.reproj.lm, 2)
+
+    # --- imu rows ---
+    r_m, Jc_m = linearize_imu(states, pb)
+    wm = jnp.sqrt(pb.imu.valid.astype(dtype))[:, None]
+    rm = (r_m * wm).reshape(-1)
+    Jm = (Jc_m * wm[..., None]).reshape(-1, D) * cmask[None, :]
+
+    # --- rotation rows (Cauchy) ---
+    r_r, Jc_r = linearize_rot(states, pb)
+    s_r = jnp.sum(r_r * r_r, axis=-1)
+    w_r = jnp.where(pb.rot.valid, 1.0 / (1.0 + s_r), 0.0)
+    swr = jnp.sqrt(w_r)[:, None]
+    rr = (r_r * swr).reshape(-1)
+    Jr = (Jc_r * swr[..., None]).reshape(-1, D) * cmask[None, :]
+
+    # --- prior rows ---
+    r_p, J_p = linearize_prior(states, pb)
+    J_p = J_p * cmask[None, :]
+
+    # --- normal equations: one stacked matmul each ---
+    J_all = jnp.concatenate([Jv, Jm, Jr, J_p], axis=0)
+    r_all = jnp.concatenate([rv, rm, rr, r_p], axis=0)
+    H = J_all.T @ J_all
+    g = J_all.T @ r_all
+
+    # --- landmark block (scalar per landmark) ---
+    Hll = jax.ops.segment_sum(Jlv * Jlv, lm_rows, num_segments=L)
+    bl = jax.ops.segment_sum(Jlv * rv, lm_rows, num_segments=L)
+    Hcl = jax.ops.segment_sum(Jlv[:, None] * Jv, lm_rows, num_segments=L)  # (L, D)
+
+    return H, g, Hll, Hcl, bl, cmask
+
+
+def solve_normal_system(H, g, Hll, Hcl, bl, cmask, lam, opt_lm):
+    """Damped Schur solve. Returns (delta_c (D,), delta_l (L,))."""
+    dtype = H.dtype
+    D = H.shape[0]
+    diagH = jnp.diag(H)
+    Hd = H + lam * jnp.diag(diagH) + 1e-12 * jnp.eye(D, dtype=dtype)
+    Hll_d = Hll * (1.0 + lam) + 1e-12
+    lm_on = opt_lm & (Hll > 1e-12)
+    inv_Hll = jnp.where(lm_on, 1.0 / Hll_d, 0.0)
+    Hred = Hd - Hcl.T @ (Hcl * inv_Hll[:, None])
+    gred = g - Hcl.T @ (bl * inv_Hll)
+    # disabled columns: identity rows/cols, zero gradient
+    Hred = Hred * (cmask[:, None] * cmask[None, :]) + jnp.diag(1.0 - cmask)
+    gred = gred * cmask
+    L_chol = jnp.linalg.cholesky(Hred)
+    y = jax.scipy.linalg.solve_triangular(L_chol, -gred, lower=True)
+    delta_c = jax.scipy.linalg.solve_triangular(L_chol.T, y, lower=False)
+    delta_c = jnp.where(jnp.isfinite(delta_c), delta_c, 0.0) * cmask
+    delta_l = -(bl + Hcl @ delta_c) * inv_Hll
+    return delta_c, delta_l
+
+
+# ---------------------------------------------------------------------------
+# LM driver
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def solve_ba(states: FrameStates, inv_depth, pb: BAProblem, max_iterations: int = 10):
+    """Levenberg-Marquardt with accept/reject and fixed iteration budget
+    (reference solver.cpp:180-194 runs <= config iterations of DOGLEG; LM with
+    adaptive damping is the jit-friendly trust-region equivalent)."""
+    W = states.q.shape[0]
+    dtype = states.q.dtype
+    cost0 = compute_cost(states, inv_depth, pb)
+
+    def body(carry, _):
+        s, invd, lam, cost, n_acc = carry
+        H, g, Hll, Hcl, bl, cmask = build_normal_system(s, invd, pb)
+        dc, dl = solve_normal_system(H, g, Hll, Hcl, bl, cmask, lam, pb.opt_lm)
+        s_new = retract(s, dc.reshape(W, ES_SIZE))
+        invd_new = invd + dl * pb.opt_lm.astype(dtype)
+        new_cost = compute_cost(s_new, invd_new, pb)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        s = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), s, s_new
+        )
+        invd = jnp.where(accept, invd_new, invd)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e8))
+        return (s, invd, lam, cost, n_acc + accept.astype(jnp.int32)), None
+
+    init = (states, inv_depth, jnp.asarray(1e-4, dtype), cost0, jnp.asarray(0, jnp.int32))
+    (s, invd, lam, cost, n_acc), _ = jax.lax.scan(body, init, None, length=max_iterations)
+    return BAResult(
+        states=s, inv_depth=invd, cost=cost, initial_cost=cost0, iterations=n_acc
+    )
