@@ -41,12 +41,12 @@ class SyntheticSequence:
     ba_true: np.ndarray
 
 
-def _pose_at(t, rng_phase):
+def _pose_at(t, rng_phase, period=60.0):
     """Analytic trajectory: circle + vertical bob; the body/camera z-axis
     points radially outward (at the landmark ring), x tangent. Returns (q_wb
     wxyz, p_wb)."""
     t = np.atleast_1d(np.asarray(t, float))
-    r, w = 3.0, 2.0 * np.pi / 20.0
+    r, w = 3.0, 2.0 * np.pi / period
     p = np.stack(
         [
             r * np.cos(w * t),
@@ -84,6 +84,7 @@ def _quat_to_R(q_wxyz):
 
 def generate(
     duration: float = 20.0,
+    period: float = 60.0,
     imu_rate: float = 200.0,
     cam_rate: float = 20.0,
     n_landmarks: int = 600,
@@ -108,13 +109,13 @@ def generate(
     # --- IMU stream from numeric differentiation of the analytic pose ---
     t_imu = np.arange(0.0, duration, 1.0 / imu_rate)
     h = 1e-4
-    q0, p0 = _pose_at(t_imu, phase)
-    _, p_plus = _pose_at(t_imu + h, phase)
-    _, p_minus = _pose_at(t_imu - h, phase)
+    q0, p0 = _pose_at(t_imu, phase, period)
+    _, p_plus = _pose_at(t_imu + h, phase, period)
+    _, p_minus = _pose_at(t_imu - h, phase, period)
     v = (p_plus - p_minus) / (2 * h)
     a_world = (p_plus - 2 * p0 + p_minus) / (h * h)
     R0 = _quat_to_R(q0)
-    qp, _ = _pose_at(t_imu + h, phase)
+    qp, _ = _pose_at(t_imu + h, phase, period)
     # body rates: logmap(q(t)^-1 q(t+h)) / h
     R_rel = np.einsum("nij,nik->njk", R0, _quat_to_R(qp))  # R0^T R(t+h)
     w_body = Rotation.from_matrix(R_rel).as_rotvec() / h
@@ -132,9 +133,9 @@ def generate(
 
     # --- camera frames ---
     t_frame = np.arange(0.0, duration, 1.0 / cam_rate)
-    q_wb, p_wb = _pose_at(t_frame, phase)
-    _, pf_plus = _pose_at(t_frame + h, phase)
-    _, pf_minus = _pose_at(t_frame - h, phase)
+    q_wb, p_wb = _pose_at(t_frame, phase, period)
+    _, pf_plus = _pose_at(t_frame + h, phase, period)
+    _, pf_minus = _pose_at(t_frame - h, phase, period)
     v_wb = (pf_plus - pf_minus) / (2 * h)
     R_wb = _quat_to_R(q_wb)
 

@@ -1,0 +1,417 @@
+"""Host->device assembly: turn Map/Track bookkeeping into fixed-shape jitted
+problems (BA solves, marginalization, preintegration, triangulation) and apply
+results back.
+
+This is the seam between the branchy host state machine (reference L6 logic)
+and the device kernels (rd_vio_tpu.estimation / ops). All arrays are padded to
+static capacities so every solve in the steady state hits the same compiled
+executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rd_vio_tpu.estimation import ba, factors as F
+from rd_vio_tpu.estimation.state import FrameStates
+from rd_vio_tpu.models.map import (
+    FT_FIX_MOTION, FT_FIX_POSE, Frame, Map, Track, TT_TRIANGULATED, TT_VALID,
+)
+from rd_vio_tpu.models.quat_np import q_to_R, qconj, qmul, qrot
+from rd_vio_tpu.ops import preintegration as pre
+from rd_vio_tpu.ops import triangulate as tri
+
+
+@dataclasses.dataclass(frozen=True)
+class Caps:
+    """Static capacities; one value set => one compiled executable per solve."""
+
+    W: int = 20  # frame slots per solve
+    L: int = 512  # landmark slots
+    O: int = 3072  # reprojection factor slots
+    Fi: int = 24  # imu factor slots
+    R: int = 256  # rotation-prior factor slots
+    IMU: int = 96  # imu samples per frame interval
+    IMU_KF: int = 512  # imu samples per keyframe chain
+    TRI_VIEWS: int = 24  # views per track in batched triangulation
+
+
+@dataclasses.dataclass
+class CalibArrays:
+    """Config-derived device constants."""
+
+    ext: F.Extrinsics
+    sqrt_inv_cov2: jnp.ndarray
+    cov_w: jnp.ndarray
+    cov_a: jnp.ndarray
+    cov_bg: jnp.ndarray
+    cov_ba: jnp.ndarray
+    K: np.ndarray  # host intrinsics
+
+    @staticmethod
+    def from_config(cfg):
+        Km = np.asarray(cfg.camera_intrinsic)
+        # K-scaled pixel whitening (reference handler.cpp:117-119)
+        sic2 = np.diag(
+            [
+                Km[0, 0] / np.sqrt(cfg.keypoint_noise_cov[0, 0]),
+                Km[1, 1] / np.sqrt(cfg.keypoint_noise_cov[1, 1]),
+            ]
+        )
+        return CalibArrays(
+            ext=F.Extrinsics(
+                q_bc=jnp.asarray(cfg.camera_to_body_rotation),
+                p_bc=jnp.asarray(cfg.camera_to_body_translation),
+                q_bi=jnp.asarray(cfg.imu_to_body_rotation),
+                p_bi=jnp.asarray(cfg.imu_to_body_translation),
+            ),
+            sqrt_inv_cov2=jnp.asarray(sic2),
+            cov_w=jnp.asarray(cfg.gyroscope_noise_cov),
+            cov_a=jnp.asarray(cfg.accelerometer_noise_cov),
+            cov_bg=jnp.asarray(cfg.gyroscope_bias_noise_cov),
+            cov_ba=jnp.asarray(cfg.accelerometer_bias_noise_cov),
+            K=Km,
+        )
+
+
+# ---------------------------------------------------------------------------
+# preintegration
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _integrate_batch(dts, ws, accs, bg0, ba0, cov_w, cov_a, cov_bg, cov_ba):
+    def one(dt, w, a, bg, ba_):
+        d = pre.integrate(dt, w, a, bg, ba_, cov_w, cov_a, cov_bg, cov_ba)
+        sic = pre.sqrt_inv_cov(d.cov + 1e-14 * jnp.eye(15))
+        return d, sic
+
+    return jax.vmap(one)(dts, ws, accs, bg0, ba0)
+
+
+def pad_imu(frame_imu: Tuple[np.ndarray, np.ndarray, np.ndarray], cap: int):
+    dt, w, a = frame_imu
+    n = min(len(dt), cap)
+    dts = np.zeros(cap)
+    ws = np.zeros((cap, 3))
+    accs = np.zeros((cap, 3))
+    dts[:n] = dt[:n]
+    ws[:n] = w[:n]
+    accs[:n] = a[:n]
+    return dts, ws, accs
+
+
+def integrate_frames(
+    imu_list: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    bg0s: np.ndarray,
+    ba0s: np.ndarray,
+    calib: CalibArrays,
+    cap: int,
+):
+    """Batched preintegration of len(imu_list) intervals, padded to `cap`."""
+    n = len(imu_list)
+    dts = np.zeros((n, cap))
+    ws = np.zeros((n, cap, 3))
+    accs = np.zeros((n, cap, 3))
+    for i, imu in enumerate(imu_list):
+        dts[i], ws[i], accs[i] = pad_imu(imu, cap)
+    delta, sic = _integrate_batch(
+        jnp.asarray(dts), jnp.asarray(ws), jnp.asarray(accs),
+        jnp.asarray(bg0s), jnp.asarray(ba0s),
+        calib.cov_w, calib.cov_a, calib.cov_bg, calib.cov_ba,
+    )
+    return delta, sic
+
+
+def integrate_single(frame: Frame, bg0, ba0, calib: CalibArrays, cap: int):
+    delta, sic = integrate_frames(
+        [(frame.imu_dt, frame.imu_w, frame.imu_a)],
+        np.asarray(bg0)[None], np.asarray(ba0)[None], calib, cap,
+    )
+    return jax.tree_util.tree_map(lambda a: a[0], delta), sic[0]
+
+
+def predict_frame(frame_prev: Frame, frame: Frame, calib: CalibArrays, cap: int):
+    """Preintegrate frame's interval at prev biases and propagate the state
+    (reference mirror_frame tail / judge_track_status head)."""
+    delta, sic = integrate_single(frame, frame_prev.bg, frame_prev.ba, calib, cap)
+    q, p, v, bg, ba_ = pre.predict(
+        delta,
+        jnp.asarray(frame_prev.q), jnp.asarray(frame_prev.p),
+        jnp.asarray(frame_prev.v), jnp.asarray(frame_prev.bg),
+        jnp.asarray(frame_prev.ba),
+    )
+    frame.q = np.asarray(q)
+    frame.p = np.asarray(p)
+    frame.v = np.asarray(v)
+    frame.bg = np.asarray(frame_prev.bg).copy()
+    frame.ba = np.asarray(frame_prev.ba).copy()
+    return delta, sic
+
+
+# ---------------------------------------------------------------------------
+# BA problem assembly
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BASpec:
+    """Declarative solve description filled by the model layer."""
+
+    frames: List[Frame]  # slot order; slot 0..len-1
+    fix_pose: List[bool]
+    fix_motion: List[bool]
+    opt_tracks: List[Track]  # landmark slots (inverse depth optimized)
+    # (tgt_frame, anchor_frame, track, fixed_depth) — fixed_depth=True for
+    # "prior" flavor factors (anchor pose must then also be a fixed frame)
+    reproj: List[Tuple[Frame, Frame, Track, bool]]
+    # (frame_i, frame_j, (dt,w,a), bg0, ba0, use_kf_cap)
+    imu: List[Tuple[Frame, Frame, tuple, np.ndarray, np.ndarray, bool]]
+    # (tgt_frame, anchor_frame, track)
+    rot: List[Tuple[Frame, Frame, Track]]
+    prior: Optional[F.PriorFactor] = None  # over slots 0.. of `frames`
+
+
+def _frame_states(frames: List[Frame], W: int) -> FrameStates:
+    q = np.tile([1.0, 0, 0, 0], (W, 1))
+    p = np.zeros((W, 3))
+    v = np.zeros((W, 3))
+    bg = np.zeros((W, 3))
+    ba_ = np.zeros((W, 3))
+    for i, f in enumerate(frames):
+        q[i], p[i], v[i], bg[i], ba_[i] = f.q, f.p, f.v, f.bg, f.ba
+    return FrameStates(
+        q=jnp.asarray(q), p=jnp.asarray(p), v=jnp.asarray(v),
+        bg=jnp.asarray(bg), ba=jnp.asarray(ba_),
+    )
+
+
+def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
+    """Returns (states, inv_depth, BAProblem, lm_slot_by_track_id)."""
+    W, L, O, Fi, R = caps.W, caps.L, caps.O, caps.Fi, caps.R
+    if len(spec.frames) > W:
+        # defensive: drop trailing (fixed-anchor) frames; factors referencing
+        # them are skipped below via the slot lookup
+        spec = dataclasses.replace(
+            spec, frames=spec.frames[:W], fix_pose=spec.fix_pose[:W],
+            fix_motion=spec.fix_motion[:W],
+        )
+    n = len(spec.frames)
+    slot = {f.id: i for i, f in enumerate(spec.frames)}
+
+    states = _frame_states(spec.frames, W)
+
+    opt_pose = np.zeros(W, bool)
+    opt_motion = np.zeros(W, bool)
+    for i, f in enumerate(spec.frames):
+        opt_pose[i] = not spec.fix_pose[i]
+        opt_motion[i] = not spec.fix_motion[i]
+
+    lm_slot: Dict[int, int] = {}
+    invd = np.ones(L)
+    opt_lm = np.zeros(L, bool)
+    for t in spec.opt_tracks:
+        if t.id in lm_slot or len(lm_slot) >= L:
+            continue
+        s = len(lm_slot)
+        lm_slot[t.id] = s
+        invd[s] = max(t.inv_depth, 1e-6)
+        opt_lm[s] = True
+
+    # reprojection factors
+    o_tgt = np.zeros(O, np.int32)
+    o_ref = np.zeros(O, np.int32)
+    o_lm = np.zeros(O, np.int32)
+    o_zr = np.tile([0.0, 0, 1.0], (O, 1))
+    o_zt = np.tile([0.0, 0, 1.0], (O, 1))
+    o_val = np.zeros(O, bool)
+    oi = 0
+    for tgt, anchor, track, fixed_depth in spec.reproj:
+        if oi >= O:
+            break
+        if tgt.id not in slot or anchor.id not in slot:
+            continue
+        ls = lm_slot.get(track.id)
+        if ls is None:
+            if not fixed_depth or len(lm_slot) >= L:
+                if not fixed_depth:
+                    continue
+                break
+            ls = len(lm_slot)
+            lm_slot[track.id] = ls
+            invd[ls] = max(track.inv_depth, 1e-6)
+            opt_lm[ls] = False  # fixed-depth prior flavor
+        kt = track.obs.get(tgt.id)
+        ka = track.obs.get(anchor.id)
+        if kt is None or ka is None:
+            continue
+        o_tgt[oi] = slot[tgt.id]
+        o_ref[oi] = slot[anchor.id]
+        o_lm[oi] = ls
+        o_zr[oi] = anchor.bearings[ka]
+        o_zt[oi] = tgt.bearings[kt]
+        o_val[oi] = True
+        oi += 1
+
+    reproj = F.ReprojFactors(
+        tgt=jnp.asarray(o_tgt), ref=jnp.asarray(o_ref), lm=jnp.asarray(o_lm),
+        z_ref=jnp.asarray(o_zr), z_tgt=jnp.asarray(o_zt), valid=jnp.asarray(o_val),
+    )
+
+    # imu factors (batched integration; kf-cap factors integrated at kf cap)
+    fi_i = np.zeros(Fi, np.int32)
+    fi_j = np.zeros(Fi, np.int32)
+    fi_val = np.zeros(Fi, bool)
+    imu_entries = [e for e in spec.imu if e[0].id in slot and e[1].id in slot][:Fi]
+    # pad the factor list to Fi BEFORE integrating so the jitted batch
+    # integrate always sees the same (Fi, cap) shapes (stable executable)
+    cap = caps.IMU_KF if any(e[5] for e in imu_entries) else caps.IMU
+    empty = (np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)))
+    imu_list = [e[2] for e in imu_entries] + [empty] * (Fi - len(imu_entries))
+    bg0 = np.zeros((Fi, 3))
+    ba0 = np.zeros((Fi, 3))
+    for k, e in enumerate(imu_entries):
+        fi_i[k] = slot[e[0].id]
+        fi_j[k] = slot[e[1].id]
+        fi_val[k] = True
+        bg0[k] = e[3]
+        ba0[k] = e[4]
+    deltas, sics = integrate_frames(imu_list, bg0, ba0, calib, cap)
+    # padded slots have zero covariance -> replace their whitening with I
+    sics = jnp.where(jnp.asarray(fi_val)[:, None, None], sics, jnp.eye(15)[None])
+
+    imu = F.ImuFactors(
+        i=jnp.asarray(fi_i), j=jnp.asarray(fi_j), delta=deltas,
+        sqrt_inv_cov=sics, bg0=jnp.asarray(bg0), ba0=jnp.asarray(ba0),
+        valid=jnp.asarray(fi_val),
+    )
+
+    # rotation priors
+    r_tgt = np.zeros(R, np.int32)
+    r_qref = np.tile([1.0, 0, 0, 0], (R, 1))
+    r_zr = np.tile([0.0, 0, 1.0], (R, 1))
+    r_zt = np.tile([0.0, 0, 1.0], (R, 1))
+    r_val = np.zeros(R, bool)
+    ri = 0
+    for tgt, anchor, track in spec.rot:
+        if ri >= R or tgt.id not in slot:
+            continue
+        kt = track.obs.get(tgt.id)
+        ka = track.obs.get(anchor.id)
+        if kt is None or ka is None:
+            continue
+        r_tgt[ri] = slot[tgt.id]
+        r_qref[ri] = anchor.q
+        r_zr[ri] = anchor.bearings[ka]
+        r_zt[ri] = tgt.bearings[kt]
+        r_val[ri] = True
+        ri += 1
+    rot = F.RotFactors(
+        tgt=jnp.asarray(r_tgt), q_ref=jnp.asarray(r_qref),
+        z_ref=jnp.asarray(r_zr), z_tgt=jnp.asarray(r_zt), valid=jnp.asarray(r_val),
+    )
+
+    if spec.prior is not None:
+        prior = spec.prior
+        prior_valid = jnp.asarray(True)
+    else:
+        prior = F.initial_prior(W, states, gauge=0.0)
+        prior_valid = jnp.asarray(False)
+
+    pb = ba.BAProblem(
+        reproj=reproj, imu=imu, rot=rot, prior=prior, prior_valid=prior_valid,
+        ext=calib.ext, sqrt_inv_cov2=calib.sqrt_inv_cov2,
+        opt_pose=jnp.asarray(opt_pose), opt_motion=jnp.asarray(opt_motion),
+        opt_lm=jnp.asarray(opt_lm),
+    )
+    return states, jnp.asarray(invd), pb, lm_slot
+
+
+def apply_result(res: ba.BAResult, spec: BASpec, lm_slot: Dict[int, int]):
+    q = np.asarray(res.states.q)
+    p = np.asarray(res.states.p)
+    v = np.asarray(res.states.v)
+    bg = np.asarray(res.states.bg)
+    ba_ = np.asarray(res.states.ba)
+    for i, f in enumerate(spec.frames):
+        if not spec.fix_pose[i]:
+            f.q, f.p = q[i], p[i]
+        if not spec.fix_motion[i]:
+            f.v, f.bg, f.ba = v[i], bg[i], ba_[i]
+    invd = np.asarray(res.inv_depth)
+    by_id = {t.id: t for t in spec.opt_tracks}
+    for tid, s in lm_slot.items():
+        t = by_id.get(tid)
+        if t is not None:
+            t.inv_depth = float(invd[s])
+
+
+# ---------------------------------------------------------------------------
+# batched triangulation
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _triangulate_batch(bearings, q_cw, p_cw, mask):
+    return jax.vmap(tri.triangulate_homogeneous)(bearings, q_cw, p_cw, mask)
+
+
+def triangulate_tracks(
+    tracks: List[Track], frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps
+):
+    """Batched N-view DLT over all given tracks (reference track.cpp:46-76).
+
+    Returns (points (N,3), ok (N,)) in world frame."""
+    V = caps.TRI_VIEWS
+    n = len(tracks)
+    if n == 0:
+        return np.zeros((0, 3)), np.zeros(0, bool)
+    b = np.tile([0.0, 0, 1.0], (n, V, 1))
+    qcw = np.tile([1.0, 0, 0, 0], (n, V, 1))
+    pcw = np.zeros((n, V, 3))
+    m = np.zeros((n, V))
+    q_bc = np.asarray(calib.ext.q_bc)
+    p_bc = np.asarray(calib.ext.p_bc)
+    for ti, t in enumerate(tracks):
+        vi = 0
+        for fid, k in t.obs.items():
+            f = frames_by_id.get(fid)
+            if f is None or vi >= V:
+                continue
+            qc, pc = f.get_pose(q_bc, p_bc)  # camera-to-world
+            qcw[ti, vi] = qconj(qc)
+            pcw[ti, vi] = -qrot(qconj(qc), pc)
+            b[ti, vi] = f.bearings[k]
+            m[ti, vi] = 1.0
+            vi += 1
+    pts, ok = _triangulate_batch(
+        jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw), jnp.asarray(m)
+    )
+    return np.asarray(pts), np.asarray(ok)
+
+
+# ---------------------------------------------------------------------------
+# landmark point <-> inverse depth (reference track.cpp:90-101)
+# ---------------------------------------------------------------------------
+
+
+def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
+    fid = track.first_frame_id()
+    f = frames_by_id[fid]
+    qc, pc = f.get_pose(np.asarray(calib.ext.q_bc), np.asarray(calib.ext.p_bc))
+    z = f.bearings[track.obs[fid]]
+    return qrot(qc, z / track.inv_depth) + pc
+
+
+def set_landmark_point(track: Track, x_world, frames_by_id, calib: CalibArrays):
+    fid = track.first_frame_id()
+    f = frames_by_id[fid]
+    qc, pc = f.get_pose(np.asarray(calib.ext.q_bc), np.asarray(calib.ext.p_bc))
+    d = np.linalg.norm(qrot(qconj(qc), np.asarray(x_world) - pc))
+    track.inv_depth = 1.0 / max(d, 1e-9)

@@ -1,0 +1,307 @@
+"""Feature tracker: per-frame keypoint tracking/detection over the raw-frame
+map, with the pure-rotation detector and track-length-priority Poisson
+re-filtering.
+
+Behavioral reference: /root/reference/src/rdvio/src/feature_tracker.cpp
+(run :26-111) and src/rdvio_map/src/frame.cpp (detect_keypoints :55-72,
+track_keypoints :74-172 — IMU-predicted initial flow, essential-RANSAC mask,
+2-pt rotation RANSAC + 70th-percentile misalignment => FT_NO_TRANSLATION,
+Poisson-disk re-filter by track length).
+
+The image pipeline is pluggable (`ImageBackend`): the synthetic backend
+replaces KLT with perfect id matches (the reference's abstract Image seam,
+types.h:153-177, per SURVEY.md §4.2); the JAX backend (ops/image) supplies
+CLAHE + pyramidal LK + GFTT on real pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rd_vio_tpu.models import builders
+from rd_vio_tpu.models.map import (
+    FT_NO_TRANSLATION, Frame, Map, TT_TRASH,
+)
+from rd_vio_tpu.models.quat_np import qconj, qmul, qrot
+from rd_vio_tpu.ops import poisson_disk, ransac
+
+
+class ImageBackend(Protocol):
+    def detect(
+        self, image, existing_pix: np.ndarray, max_points: int, min_dist: float
+    ) -> np.ndarray:
+        """Return new keypoint pixels (M, 2) respecting spacing vs existing."""
+
+    def track(
+        self, prev_image, next_image, prev_pix: np.ndarray, pred_pix: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (next_pix (N, 2), status (N,) bool)."""
+
+
+class SyntheticBackend:
+    """Perfect-match backend over a SyntheticSequence; image handle = frame
+    index into the sequence. The mocking seam of SURVEY.md §4.2."""
+
+    def __init__(self, seq):
+        self.seq = seq
+
+    def _frame_kps(self, fidx):
+        ids = self.seq.kp_id[fidx]
+        pix = self.seq.kp_pixel[fidx]
+        m = ids >= 0
+        return pix[m], ids[m]
+
+    def detect(self, image, existing_pix, max_points, min_dist):
+        pix, ids = self._frame_kps(image)
+        # exclude already-tracked synthetic landmarks by pixel proximity
+        if len(existing_pix):
+            d = np.linalg.norm(pix[:, None] - existing_pix[None], axis=-1)
+            keep = d.min(axis=1) > min_dist * 0.5
+            pix = pix[keep]
+        return pix[: max(0, max_points - len(existing_pix))]
+
+    def track(self, prev_image, next_image, prev_pix, pred_pix):
+        pix_p, ids_p = self._frame_kps(prev_image)
+        pix_n, ids_n = self._frame_kps(next_image)
+        id_to_next = {int(i): k for k, i in enumerate(ids_n)}
+        out = np.zeros_like(prev_pix)
+        status = np.zeros(len(prev_pix), bool)
+        # exact-pixel association: bearings are pixel-exact in this backend,
+        # so anything farther than numerical noise is a different landmark
+        # (a loose radius here silently drifts tracks between landmarks)
+        for i, p in enumerate(prev_pix):
+            d = np.linalg.norm(pix_p - p, axis=-1)
+            j = int(np.argmin(d)) if len(d) else -1
+            if j < 0 or d[j] > 1e-5:
+                continue
+            k = id_to_next.get(int(ids_p[j]))
+            if k is None:
+                continue
+            out[i] = pix_n[k]
+            status[i] = True
+        return out, status
+
+
+class FeatureTracker:
+    def __init__(self, config, calib: builders.CalibArrays, caps: builders.Caps,
+                 backend: ImageBackend):
+        self.config = config
+        self.calib = calib
+        self.caps = caps
+        self.backend = backend
+        self.map = Map()
+        self.frontend = None  # set by Odometry wiring
+        self._rng_key = jax.random.PRNGKey(config.random + 1)
+        self._frame_counter = 0
+        self.latest_state = None  # (t, q, p, v, bg, ba)
+
+    def _next_key(self):
+        self._rng_key, k = jax.random.split(self._rng_key)
+        return k
+
+    # -- helpers -------------------------------------------------------
+    def _pix_from_bearings(self, frame: Frame) -> np.ndarray:
+        Km = self.calib.K
+        b = frame.bearings
+        if len(b) == 0:
+            return np.zeros((0, 2))
+        return np.stack(
+            [
+                b[:, 0] / b[:, 2] * Km[0, 0] + Km[0, 2],
+                b[:, 1] / b[:, 2] * Km[1, 1] + Km[1, 2],
+            ],
+            axis=-1,
+        )
+
+    def _bearing_from_pix(self, pix: np.ndarray) -> np.ndarray:
+        Km = self.calib.K
+        x = (pix[:, 0] - Km[0, 2]) / Km[0, 0]
+        y = (pix[:, 1] - Km[1, 2]) / Km[1, 1]
+        b = np.stack([x, y, np.ones_like(x)], axis=-1)
+        return b / np.linalg.norm(b, axis=-1, keepdims=True)
+
+    # -- main per-frame entry (reference feature_tracker.cpp:26-111) ---
+    def track_frame(self, frame: Frame):
+        self._frame_counter += 1
+
+        # re-anchor poses from the frontend's latest optimized state
+        self._repropagate_from_optimized()
+
+        if self.map.frame_num > 0:
+            last = self.map.get_frame(self.map.frame_num - 1)
+            self._track_keypoints(last, frame)
+            # predict current state from last frame (publishes latest_state)
+            builders.predict_frame(last, frame, self.calib, self.caps.IMU)
+            self.latest_state = (frame.t, frame.q.copy(), frame.p.copy(),
+                                 frame.v.copy(), frame.bg.copy(), frame.ba.copy())
+
+        if (self._frame_counter % max(self.config.sliding_window_tracker_frequent, 1)) == 0:
+            self._detect_keypoints(frame)
+
+        self.map.attach_frame(frame)
+        self._trim_map()
+        if self.frontend is not None:
+            self.frontend.issue_frame(frame)
+
+    def refresh_from_optimized(self):
+        """Called by the frontend right after it publishes a new optimized
+        state: re-anchor the raw-frame chain and refresh latest_state so
+        consumers never see a stale pre-optimization prediction."""
+        self._repropagate_from_optimized()
+        if self.map.frame_num > 0:
+            f = self.map.get_frame(self.map.frame_num - 1)
+            self.latest_state = (f.t, f.q.copy(), f.p.copy(), f.v.copy(),
+                                 f.bg.copy(), f.ba.copy())
+
+    def _repropagate_from_optimized(self):
+        """Pull the frontend's latest optimized state and re-propagate all
+        later frames (reference feature_tracker.cpp:36-69)."""
+        fe = self.frontend
+        if fe is None or fe.latest_optimized is None:
+            return
+        t, fid, q, p, v, bg, ba_ = fe.latest_optimized
+        idx = self.map.frame_index_by_id(fid)
+        if idx is None:
+            return
+        f = self.map.get_frame(idx)
+        f.q, f.p, f.v, f.bg, f.ba = q.copy(), p.copy(), v.copy(), bg.copy(), ba_.copy()
+        for i in range(idx + 1, self.map.frame_num):
+            builders.predict_frame(
+                self.map.get_frame(i - 1), self.map.get_frame(i),
+                self.calib, self.caps.IMU,
+            )
+
+    def _track_keypoints(self, last: Frame, frame: Frame):
+        cfg = self.config
+        Km = self.calib.K
+        n = last.keypoint_num
+        if n == 0:
+            return
+        curr_pix = self._pix_from_bearings(last)
+
+        # IMU-predicted initial flow (reference frame.cpp:82-93)
+        pred_pix = curr_pix
+        delta_q = self._interval_rotation(frame)
+        if cfg.feature_tracker_predict_keypoints and delta_q is not None:
+            q_bc = np.asarray(self.calib.ext.q_bc)
+            q_bi = np.asarray(self.calib.ext.q_bi)
+            dkq = qconj(
+                qmul(qmul(qmul(qmul(qconj(q_bc), q_bi), delta_q), qconj(q_bi)), q_bc)
+            )
+            pb = np.stack([qrot(dkq, b) for b in last.bearings])
+            pred_pix = np.stack(
+                [
+                    pb[:, 0] / np.maximum(pb[:, 2], 1e-6) * Km[0, 0] + Km[0, 2],
+                    pb[:, 1] / np.maximum(pb[:, 2], 1e-6) * Km[1, 1] + Km[1, 2],
+                ],
+                axis=-1,
+            )
+
+        next_pix, status = self.backend.track(
+            last.image, frame.image, curr_pix, pred_pix
+        )
+        next_bearings = self._bearing_from_pix(np.where(status[:, None], next_pix, curr_pix))
+
+        # essential RANSAC mask (reference frame.cpp:108-114; threshold 1.0
+        # in normalized units — matches the reference's permissive gate)
+        cap = max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        p1 = np.zeros((cap, 2))
+        p2 = np.zeros((cap, 2))
+        val = np.zeros(cap, bool)
+        p1[:n] = last.bearings[:, :2] / last.bearings[:, 2:]
+        p2[:n] = next_bearings[:, :2] / next_bearings[:, 2:]
+        val[:n] = status
+        res_e = ransac.ransac_essential(
+            self._next_key(), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(val),
+            threshold=1.0, num_hypotheses=cfg.ransac_hypotheses,
+        )
+        mask = np.asarray(res_e.inlier_mask)[:n]
+        status = status & mask
+
+        # rotation RANSAC + misalignment percentile (reference frame.cpp:115-131)
+        b1 = np.zeros((cap, 3))
+        b2 = np.zeros((cap, 3))
+        b1[:n] = last.bearings
+        b2[:n] = next_bearings
+        res_r = ransac.ransac_rotation(
+            self._next_key(), jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
+            threshold=np.radians(cfg.rotation_ransac_threshold),
+            num_hypotheses=cfg.ransac_hypotheses,
+        )
+        rmask = np.asarray(res_r.inlier_mask)[:n]
+        R = np.asarray(res_r.model)
+        if rmask.any():
+            ang = np.degrees(
+                np.arccos(
+                    np.clip(np.sum((last.bearings[rmask] @ R.T) * next_bearings[rmask], -1), -1, 1)
+                )
+            )
+            misalign = float(np.sort(ang)[len(ang) * 7 // 10])
+        else:
+            misalign = 0.0
+        if misalign < cfg.rotation_misalignment_threshold:
+            frame.set_tag(FT_NO_TRANSLATION, True)
+
+        # Poisson re-filter by track length priority (reference frame.cpp:134-161)
+        lengths = np.zeros(n)
+        trash = np.zeros(n, bool)
+        for i in range(n):
+            t = self.map.get_track(last, i)
+            if t is not None:
+                lengths[i] = len(t.obs)
+                trash[i] = t.tag(TT_TRASH)
+        order = np.argsort(-lengths, kind="stable")
+        cand = np.where(status, next_pix[:, 0], -1)  # placeholder
+        W_img, H_img = self.config.camera_resolution
+        acc = np.asarray(
+            poisson_disk.poisson_disk_filter(
+                jnp.asarray(next_pix[order]),
+                jnp.asarray(status[order] & ~trash[order]),
+                min_distance=cfg.feature_tracker_min_keypoint_distance,
+                width=float(W_img), height=float(H_img),
+            )
+        )
+        keep = np.zeros(n, bool)
+        keep[order] = acc
+        status = status & keep & ~trash
+
+        # append surviving matches + track links (reference frame.cpp:163-171)
+        for i in np.flatnonzero(status):
+            k_new = frame.append_keypoint(next_bearings[i])
+            t = self.map.get_track(last, i, create=True)
+            self.map.add_keypoint(t, frame, k_new)
+
+    def _interval_rotation(self, frame: Frame):
+        """Integrate the frame's gyro samples into a delta rotation quat."""
+        if len(frame.imu_dt) == 0:
+            return None
+        from scipy.spatial.transform import Rotation
+
+        q = np.array([0.0, 0.0, 0.0, 1.0])  # xyzw
+        for dt, w in zip(frame.imu_dt, frame.imu_w):
+            q = (Rotation.from_quat(q) * Rotation.from_rotvec(w * dt)).as_quat()
+        return np.array([q[3], q[0], q[1], q[2]])
+
+    def _detect_keypoints(self, frame: Frame):
+        cfg = self.config
+        existing = self._pix_from_bearings(frame)
+        new_pix = self.backend.detect(
+            frame.image, existing,
+            cfg.feature_tracker_max_keypoint_detection,
+            cfg.feature_tracker_min_keypoint_distance,
+        )
+        if len(new_pix) == 0:
+            return
+        for b in self._bearing_from_pix(np.asarray(new_pix)):
+            frame.append_keypoint(b)
+
+    def _trim_map(self):
+        limit = self.config.feature_tracker_max_init_frames
+        if self.frontend is not None and not self.frontend.initializing:
+            limit = self.config.feature_tracker_max_frames
+        while self.map.frame_num > limit:
+            self.map.erase_frame(0)

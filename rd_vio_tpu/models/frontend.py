@@ -1,0 +1,88 @@
+"""Frontend state machine: Initializer until success, then the sliding-window
+tracker; on tracking failure, re-bootstrap.
+
+Behavioral reference: /root/reference/src/rdvio/src/frontend.cpp:26-97.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Optional
+
+from rd_vio_tpu.models import builders
+from rd_vio_tpu.models.initializer import Initializer
+from rd_vio_tpu.models.sliding_window_tracker import SlidingWindowTracker
+
+
+class SysState(Enum):
+    SYS_INITIALIZING = 0
+    SYS_TRACKING = 1
+    SYS_CRASH = 2
+    SYS_UNKNOWN = 3
+
+
+class Frontend:
+    def __init__(self, feature_tracker, config, calib: builders.CalibArrays,
+                 caps: builders.Caps):
+        self.feature_tracker = feature_tracker
+        self.config = config
+        self.calib = calib
+        self.caps = caps
+        self.initializer: Optional[Initializer] = Initializer(config, calib, caps)
+        self.swt: Optional[SlidingWindowTracker] = None
+        self.pending_frame_ids = []
+        # (t, frame_id, q, p, v, bg, ba)
+        self.latest_optimized = None
+
+    @property
+    def initializing(self) -> bool:
+        return self.initializer is not None
+
+    def issue_frame(self, frame):
+        self.pending_frame_ids.append(frame.id)
+        self.run()
+
+    def run(self):
+        if not self.pending_frame_ids:
+            return
+        if self.initializer is not None:
+            fid = self.pending_frame_ids[0]
+            self.pending_frame_ids.clear()
+            self.initializer.mirror_keyframe_map(self.feature_tracker.map, fid)
+            init_map = self.initializer.initialize()
+            if init_map is not None:
+                self.swt = SlidingWindowTracker(
+                    init_map, self.config, self.calib, self.caps
+                )
+                self.swt.feature_tracking_map = self.feature_tracker.map
+                self._publish(fid)
+                self.initializer = None
+        elif self.swt is not None:
+            fid = self.pending_frame_ids.pop(0)
+            if not self.swt.mirror_frame(self.feature_tracker.map, fid):
+                return
+            if self.swt.track():
+                self._publish(fid)
+            else:
+                self.latest_optimized = None
+                self.initializer = Initializer(self.config, self.calib, self.caps)
+                self.swt = None
+
+    def _publish(self, fid):
+        t, q, p, v, bg, ba, last_id = self.swt.get_latest_state()
+        self.latest_optimized = (t, last_id, q, p, v, bg, ba)
+        self.feature_tracker.refresh_from_optimized()
+
+    def get_system_state(self) -> SysState:
+        if self.initializer is not None:
+            return SysState.SYS_INITIALIZING
+        if self.swt is not None:
+            return SysState.SYS_TRACKING
+        return SysState.SYS_UNKNOWN
+
+    def get_landmarks(self):
+        import numpy as np
+
+        if self.swt is not None:
+            return self.swt.get_landmarks()
+        return np.zeros((0, 3))

@@ -1,0 +1,248 @@
+"""Host-side map data model: frames, tracks, and their bookkeeping.
+
+Behavioral reference: /root/reference/src/rdvio_map (map.h/map.cpp Frame deque
++ Track pool, frame.h/frame.cpp per-keypoint parallel arrays, track.h/track.cpp
+keypoint_refs + inverse-depth landmark). The pointer graph becomes index
+bookkeeping over NumPy arrays; all estimation math consumes flat arrays built
+from this model (models/builders.py) and runs jitted on device.
+
+Tags follow the reference enums (frame.h:16-21, track.h:13-21).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# frame tags (reference frame.h:16-21)
+FT_KEYFRAME = "keyframe"
+FT_NO_TRANSLATION = "no_translation"
+FT_FIX_POSE = "fix_pose"
+FT_FIX_MOTION = "fix_motion"
+
+# track tags (reference track.h:13-21)
+TT_VALID = "valid"
+TT_TRIANGULATED = "triangulated"
+TT_FIX_INVD = "fix_invd"
+TT_TRASH = "trash"
+TT_STATIC = "static"  # default ON (reference track.cpp:7)
+TT_OUTLIER = "outlier"
+
+_frame_ids = itertools.count(1)
+_track_ids = itertools.count(1)
+
+
+class Frame:
+    """One camera frame: body pose/motion + keypoint arrays + raw IMU samples
+    of the interval ending at this frame (reference frame.h:62-80)."""
+
+    __slots__ = (
+        "id", "t", "q", "p", "v", "bg", "ba", "bearings", "track_ids",
+        "flags", "imu_dt", "imu_w", "imu_a", "subframes", "keyframe_imu",
+        "image",
+    )
+
+    def __init__(self, t: float):
+        self.id = next(_frame_ids)
+        self.t = t
+        self.q = np.array([1.0, 0.0, 0.0, 0.0])
+        self.p = np.zeros(3)
+        self.v = np.zeros(3)
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.bearings = np.zeros((0, 3))
+        self.track_ids = np.zeros(0, dtype=np.int64)  # -1 = unlinked
+        self.flags = set()
+        # raw IMU covering (prev_frame.t, self.t]; (dt, w, a) arrays
+        self.imu_dt = np.zeros(0)
+        self.imu_w = np.zeros((0, 3))
+        self.imu_a = np.zeros((0, 3))
+        self.subframes: List["Frame"] = []
+        # keyframe-chain IMU (rebuilt to include subframe data; reference
+        # frame.h keyframe_preintegration)
+        self.keyframe_imu = None  # (dt, w, a) tuple or None
+        self.image = None  # opaque backend handle (reference Frame::image)
+
+    # -- tags --
+    def tag(self, name: str) -> bool:
+        return name in self.flags
+
+    def set_tag(self, name: str, value: bool = True):
+        if value:
+            self.flags.add(name)
+        else:
+            self.flags.discard(name)
+
+    @property
+    def keypoint_num(self) -> int:
+        return len(self.bearings)
+
+    def append_keypoint(self, bearing: np.ndarray) -> int:
+        self.bearings = np.vstack([self.bearings, bearing[None]])
+        self.track_ids = np.append(self.track_ids, -1)
+        return len(self.bearings) - 1
+
+    def clone(self) -> "Frame":
+        """Copy state but not track links (reference frame.cpp:19-36);
+        preserves id (reference identifiable.h clone semantics)."""
+        f = Frame(self.t)
+        f.id = self.id
+        for attr in ("q", "p", "v", "bg", "ba", "bearings"):
+            setattr(f, attr, getattr(self, attr).copy())
+        f.track_ids = np.full(len(self.bearings), -1, dtype=np.int64)
+        f.flags = set(self.flags)
+        f.imu_dt = self.imu_dt.copy()
+        f.imu_w = self.imu_w.copy()
+        f.imu_a = self.imu_a.copy()
+        f.image = self.image  # shared handle (reference clone shares image)
+        return f
+
+    # -- pose composition (reference frame.cpp:174-184) --
+    def get_pose(self, q_cs: np.ndarray, p_cs: np.ndarray):
+        """Sensor pose from body pose: q_sensor = q * q_cs; p_sensor = p + q*p_cs."""
+        from rd_vio_tpu.models.quat_np import qmul, qrot
+
+        return qmul(self.q, q_cs), self.p + qrot(self.q, p_cs)
+
+    def set_pose(self, q_cs: np.ndarray, p_cs: np.ndarray, q_sensor, p_sensor):
+        from rd_vio_tpu.models.quat_np import qconj, qmul, qrot
+
+        self.q = qmul(q_sensor, qconj(q_cs))
+        self.p = p_sensor - qrot(self.q, p_cs)
+
+
+class Track:
+    """A landmark track (reference track.h): ordered frame_id -> keypoint
+    index observations + inverse depth anchored at the first observation."""
+
+    __slots__ = ("id", "obs", "inv_depth", "life", "flags", "reprojection_error")
+
+    def __init__(self):
+        self.id = next(_track_ids)
+        self.obs: Dict[int, int] = {}  # frame_id -> keypoint index
+        self.inv_depth = -1.0
+        self.life = 0
+        self.flags = {TT_STATIC}  # static default true (track.cpp:7)
+        self.reprojection_error = float("inf")
+
+    def tag(self, name: str) -> bool:
+        return name in self.flags
+
+    def set_tag(self, name: str, value: bool = True):
+        if value:
+            self.flags.add(name)
+        else:
+            self.flags.discard(name)
+
+    def all_tagged(self, *names) -> bool:
+        return all(n in self.flags for n in names)
+
+    def first_frame_id(self) -> int:
+        return min(self.obs)
+
+    def keypoint_index(self, frame_id: int) -> Optional[int]:
+        return self.obs.get(frame_id)
+
+
+class Map:
+    """Ordered frames + track pool (reference map.h/map.cpp). Frames are
+    id-sorted; subframes hang off their parent keyframe and are not in the
+    top-level list."""
+
+    def __init__(self):
+        self.frames: List[Frame] = []
+        self.tracks: Dict[int, Track] = {}
+
+    # -- frames --
+    @property
+    def frame_num(self) -> int:
+        return len(self.frames)
+
+    def get_frame(self, i: int) -> Frame:
+        return self.frames[i]
+
+    def frame_index_by_id(self, fid: int) -> Optional[int]:
+        for i, f in enumerate(self.frames):
+            if f.id == fid:
+                return i
+        return None
+
+    def attach_frame(self, frame: Frame, position: Optional[int] = None):
+        if position is None:
+            self.frames.append(frame)
+        else:
+            self.frames.insert(position, frame)
+
+    def detach_frame(self, index: int) -> Frame:
+        return self.frames.pop(index)
+
+    def untrack_frame(self, frame: Frame):
+        """Remove all track links of a frame (reference map.cpp untrack_frame)."""
+        for k, tid in enumerate(frame.track_ids):
+            if tid >= 0:
+                self.remove_keypoint(self.tracks.get(int(tid)), frame, k)
+        frame.track_ids[:] = -1
+
+    def erase_frame(self, index: int) -> Frame:
+        frame = self.frames[index]
+        self.untrack_frame(frame)
+        return self.detach_frame(index)
+
+    # -- tracks --
+    def get_track(self, frame: Frame, k: int, create: bool = False) -> Optional[Track]:
+        tid = int(frame.track_ids[k])
+        if tid >= 0 and tid in self.tracks:
+            return self.tracks[tid]
+        if not create:
+            return None
+        tr = Track()
+        self.tracks[tr.id] = tr
+        tr.obs[frame.id] = k
+        frame.track_ids[k] = tr.id
+        return tr
+
+    def add_keypoint(self, track: Track, frame: Frame, k: int):
+        """Link (frame, k) to track; bumps consecutive-track life
+        (reference track.cpp:14-23)."""
+        track.obs[frame.id] = k
+        frame.track_ids[k] = track.id
+        track.life += 1
+
+    def remove_keypoint(self, track: Optional[Track], frame: Frame, k: int):
+        """Unlink; re-anchor inverse depth if the first frame leaves
+        (reference track.cpp:25-44). Host-side geometric re-anchoring is done
+        lazily by the consumer via world-point conversion."""
+        if track is None:
+            return
+        was_first = track.obs and min(track.obs) == frame.id
+        track.obs.pop(frame.id, None)
+        frame.track_ids[k] = -1
+        if not track.obs:
+            self.tracks.pop(track.id, None)
+        elif was_first:
+            # inverse depth must be re-expressed along the new anchor bearing;
+            # callers holding the world point re-set it via set_landmark_point.
+            track.set_tag(TT_TRIANGULATED, False) if track.inv_depth <= 0 else None
+
+    def prune_tracks(self, pred):
+        """Erase tracks matching pred and clear their frame links
+        (reference map.cpp:96-106)."""
+        doomed = [t for t in self.tracks.values() if pred(t)]
+        frames_by_id = {f.id: f for f in self.all_frames()}
+        for t in doomed:
+            for fid, k in list(t.obs.items()):
+                f = frames_by_id.get(fid)
+                if f is not None and k < len(f.track_ids):
+                    f.track_ids[k] = -1
+            self.tracks.pop(t.id, None)
+
+    def all_frames(self):
+        for f in self.frames:
+            yield f
+            yield from f.subframes
+
+    @property
+    def track_num(self) -> int:
+        return len(self.tracks)

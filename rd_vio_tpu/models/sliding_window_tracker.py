@@ -1,0 +1,716 @@
+"""Sliding-window tracker: per-frame localization, the RR/RT keyframe state
+machine, windowed VI-BA with marginalization, and IMU-PARSAC dynamic-track
+rejection.
+
+Behavioral reference: /root/reference/src/rdvio/src/sliding_window_tracker.cpp
+(mirror_frame :29-78, track :80-99, localize_newframe :101-125, manage_keyframe
+:127-202 including the ASCII-diagrammed RR/RT cases, track_landmark :204-224,
+refine_window :226-337, slide_window :339-347, refine_subwindow :349-444,
+judge_track_status :557-718, update_track_status :720-769).
+
+Host Python drives the branchy state machine; all numerics (preintegration,
+PARSAC, triangulation, BA, marginalization) run as jitted device programs via
+models/builders.py. The marginalization prior lives over the keyframe slots of
+`map.frames` — the keyframe insertion cases above always append after the
+prior-covered prefix, so slot-aligned priors stay consistent (see
+estimation/marginalization.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rd_vio_tpu.estimation import ba, factors as F, marginalization
+from rd_vio_tpu.models import builders
+from rd_vio_tpu.models.map import (
+    FT_KEYFRAME, FT_NO_TRANSLATION, Frame, Map, Track,
+    TT_OUTLIER, TT_STATIC, TT_TRASH, TT_TRIANGULATED, TT_VALID,
+)
+from rd_vio_tpu.models.quat_np import q_to_R, qconj, qmul, qrot
+from rd_vio_tpu.ops import parsac
+
+
+class SlidingWindowTracker:
+    def __init__(self, keyframe_map: Map, config, calib: builders.CalibArrays,
+                 caps: builders.Caps, rng_key=None):
+        self.map = keyframe_map
+        self.config = config
+        self.calib = calib
+        self.caps = caps
+        self.feature_tracking_map: Optional[Map] = None
+        self.prior: Optional[F.PriorFactor] = None
+        self.m_th = 3.0  # adaptive epipolar threshold (px)
+        self.bin_conf_imu = parsac.default_bin_confidences()
+        self.bin_conf_2d2d = parsac.default_bin_confidences()
+        self._rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(config.random)
+
+    def _next_key(self):
+        self._rng_key, k = jax.random.split(self._rng_key)
+        return k
+
+    # ------------------------------------------------------------------
+    def mirror_frame(self, ft_map: Map, frame_id: int):
+        """Clone the newest FT frame into the SWT map, link tracks, accumulate
+        skipped-frame IMU, preintegrate + predict (reference :29-78)."""
+        keyframe = self.map.get_frame(self.map.frame_num - 1)
+        new_frame_i = keyframe.subframes[-1] if keyframe.subframes else keyframe
+
+        idx_i = ft_map.frame_index_by_id(new_frame_i.id)
+        idx_j = ft_map.frame_index_by_id(frame_id)
+        if idx_i is None or idx_j is None:
+            return False
+
+        old_i = ft_map.get_frame(idx_i)
+        old_j = ft_map.get_frame(idx_j)
+        curr = old_j.clone()
+        # accumulate IMU of frames skipped between i and j
+        dts = [curr.imu_dt]
+        ws = [curr.imu_w]
+        accs = [curr.imu_a]
+        for index in range(idx_j - 1, idx_i, -1):
+            fr = ft_map.get_frame(index)
+            dts.insert(0, fr.imu_dt)
+            ws.insert(0, fr.imu_w)
+            accs.insert(0, fr.imu_a)
+        curr.imu_dt = np.concatenate(dts)
+        curr.imu_w = np.concatenate(ws)
+        curr.imu_a = np.concatenate(accs)
+
+        self.map.attach_frame(curr)
+
+        # link tracks seen in both old_i and old_j into the SWT map
+        for ki in range(old_i.keypoint_num):
+            tr = ft_map.get_track(old_i, ki)
+            if tr is None:
+                continue
+            kj = tr.obs.get(old_j.id)
+            if kj is None:
+                continue
+            ntr = self.map.get_track(new_frame_i, ki, create=True)
+            self.map.add_keypoint(ntr, curr, kj)
+            # propagate trash/static into the FT track (reference :63-66)
+            if not (ntr.tag(TT_TRASH) and not ntr.tag(TT_STATIC)):
+                tr.set_tag(TT_TRASH, False)
+
+        self.map.prune_tracks(
+            lambda t: t.tag(TT_TRASH) and not t.tag(TT_STATIC)
+        )
+
+        builders.predict_frame(new_frame_i, curr, self.calib, self.caps.IMU)
+        return True
+
+    # ------------------------------------------------------------------
+    def track(self) -> bool:
+        if self.config.parsac_flag:
+            if self.judge_track_status():
+                self.update_track_status()
+
+        self.localize_newframe()
+
+        if self.manage_keyframe():
+            self.track_landmark()
+            self.refine_window()
+            self.slide_window()
+        else:
+            self.refine_subwindow()
+        return True
+
+    # ------------------------------------------------------------------
+    def localize_newframe(self):
+        """Per-frame PnP-style solve: preintegration prior + reprojection
+        priors of static landmarks (reference :101-125)."""
+        m = self.map
+        frame_i = m.get_frame(m.frame_num - 2)
+        if frame_i.subframes:
+            frame_i = frame_i.subframes[-1]
+        frame_j = m.get_frame(m.frame_num - 1)
+
+        frames = [frame_j, frame_i]
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        reproj = []
+        for k in range(frame_j.keypoint_num):
+            t = m.get_track(frame_j, k)
+            if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
+                continue
+            anchor = frames_by_id.get(t.first_frame_id())
+            if anchor is None or anchor.id == frame_j.id:
+                continue
+            if anchor.id not in (f.id for f in frames):
+                frames.append(anchor)
+            reproj.append((frame_j, anchor, t, True))
+        imu = [(frame_i, frame_j, (frame_j.imu_dt, frame_j.imu_w, frame_j.imu_a),
+                frame_i.bg.copy(), frame_i.ba.copy(), False)]
+        spec = builders.BASpec(
+            frames=frames,
+            fix_pose=[False] + [True] * (len(frames) - 1),
+            fix_motion=[False] + [True] * (len(frames) - 1),
+            opt_tracks=[], reproj=reproj, imu=imu, rot=[],
+        )
+        states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+        res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
+        builders.apply_result(res, spec, lm_slot)
+
+    # ------------------------------------------------------------------
+    def manage_keyframe(self) -> bool:
+        """RR/RT keyframe state machine (reference :127-202)."""
+        m = self.map
+        keyframe_i = m.get_frame(m.frame_num - 2)
+        newframe_j = m.get_frame(m.frame_num - 1)
+
+        if keyframe_i.subframes:
+            last_sub = keyframe_i.subframes[-1]
+            if last_sub.tag(FT_NO_TRANSLATION):
+                if newframe_j.tag(FT_NO_TRANSLATION):
+                    # [T]+[R..R] <- [R]: keep accumulating rotation subframes
+                    pass
+                else:
+                    # [T]+[R..R] <- [T]: lift last R-subframe to keyframe
+                    keyframe_i.subframes.pop()
+                    last_sub.set_tag(FT_KEYFRAME, True)
+                    m.attach_frame(last_sub, m.frame_num - 1)
+                    newframe_j.set_tag(FT_KEYFRAME, True)
+                    return True
+            else:
+                if newframe_j.tag(FT_NO_TRANSLATION):
+                    # [T]+[T..T] <- [R]: lift last T-subframe to keyframe and
+                    # re-parent the R-frame under it
+                    lifted = keyframe_i.subframes.pop()
+                    lifted.set_tag(FT_KEYFRAME, True)
+                    lifted.subframes.append(m.detach_frame(m.frame_num - 1))
+                    m.attach_frame(lifted)
+                    return True
+                else:
+                    if len(keyframe_i.subframes) >= self.config.sliding_window_subframe_size:
+                        newframe_j.set_tag(FT_KEYFRAME, True)
+                        return True
+
+        mapped = 0
+        for k in range(newframe_j.keypoint_num):
+            t = m.get_track(newframe_j, k)
+            if t is not None and t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
+                mapped += 1
+
+        if mapped < self.config.sliding_window_force_keyframe_landmarks:
+            newframe_j.set_tag(FT_KEYFRAME, True)
+            return True
+        keyframe_i.subframes.append(m.detach_frame(m.frame_num - 1))
+        return False
+
+    # ------------------------------------------------------------------
+    def track_landmark(self):
+        """Triangulate not-yet-triangulated tracks of the new keyframe
+        (reference :204-224)."""
+        m = self.map
+        newframe = m.get_frame(m.frame_num - 1)
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        pending = []
+        for k in range(newframe.keypoint_num):
+            t = m.get_track(newframe, k)
+            if t is not None and not t.tag(TT_TRIANGULATED):
+                pending.append(t)
+        if not pending:
+            return
+        pts, ok = builders.triangulate_tracks(pending, frames_by_id, self.calib, self.caps)
+        for t, x, o in zip(pending, pts, ok):
+            if o:
+                builders.set_landmark_point(t, x, frames_by_id, self.calib)
+                t.set_tag(TT_TRIANGULATED, True)
+                t.set_tag(TT_VALID, True)
+                t.set_tag(TT_STATIC, True)
+                t.life = 1
+            else:
+                t.inv_depth = -1.0
+                t.set_tag(TT_TRIANGULATED, False)
+                t.set_tag(TT_VALID, False)
+
+    # ------------------------------------------------------------------
+    def _keyframe_imu_chain(self, frame_i: Frame, frame_j: Frame):
+        """IMU data of frame_j prepended with frame_i's subframe data
+        (reference :277-300)."""
+        dts, ws, accs = [], [], []
+        for sub in frame_i.subframes:
+            dts.append(sub.imu_dt)
+            ws.append(sub.imu_w)
+            accs.append(sub.imu_a)
+        dts.append(frame_j.imu_dt)
+        ws.append(frame_j.imu_w)
+        accs.append(frame_j.imu_a)
+        return (np.concatenate(dts), np.concatenate(ws), np.concatenate(accs))
+
+    def refine_window(self):
+        """Full-window VI-BA (reference :226-337)."""
+        m = self.map
+        frames = list(m.frames)
+        fid_set = {f.id for f in frames}
+        frames_by_id = {f.id: f for f in m.all_frames()}
+
+        opt_tracks = []
+        for t in m.tracks.values():
+            if not (t.tag(TT_VALID) and t.tag(TT_STATIC)):
+                continue
+            anchor = frames_by_id.get(t.first_frame_id())
+            if anchor is None or not anchor.tag(FT_KEYFRAME):
+                continue
+            opt_tracks.append(t)
+
+        reproj = []
+        for f in frames:
+            for k in range(f.keypoint_num):
+                t = m.get_track(f, k)
+                if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
+                    continue
+                aid = t.first_frame_id()
+                if aid == f.id or aid not in fid_set:
+                    continue
+                anchor = frames_by_id[aid]
+                if not anchor.tag(FT_KEYFRAME):
+                    continue
+                reproj.append((f, anchor, t, False))
+
+        imu = []
+        for j in range(1, len(frames)):
+            fi, fj = frames[j - 1], frames[j]
+            chain = self._keyframe_imu_chain(fi, fj)
+            fj.keyframe_imu = chain
+            imu.append((fi, fj, chain, fi.bg.copy(), fi.ba.copy(), True))
+
+        states = builders._frame_states(frames, self.caps.W)
+        if self.prior is None:
+            self.prior = F.initial_prior(self.caps.W, states)
+
+        spec = builders.BASpec(
+            frames=frames,
+            fix_pose=[False] * len(frames),
+            fix_motion=[False] * len(frames),
+            opt_tracks=[t for t in opt_tracks if t.tag(TT_TRIANGULATED)],
+            reproj=reproj, imu=imu, rot=[], prior=self.prior,
+        )
+        states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+        res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
+        builders.apply_result(res, spec, lm_slot)
+
+        # post-solve landmark validation (reference :304-336)
+        self._validate_landmarks()
+
+    def _validate_landmarks(self):
+        m = self.map
+        Km = self.calib.K
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        q_bc = np.asarray(self.calib.ext.q_bc)
+        p_bc = np.asarray(self.calib.ext.p_bc)
+        for t in m.tracks.values():
+            if t.tag(TT_TRIANGULATED):
+                if t.first_frame_id() not in frames_by_id:
+                    continue
+                x = builders.get_landmark_point(t, frames_by_id, self.calib)
+                is_valid = True
+                rpe, cnt = 0.0, 0.0
+                for fid, k in t.obs.items():
+                    f = frames_by_id.get(fid)
+                    if f is None or not f.tag(FT_KEYFRAME):
+                        continue
+                    qc, pc = f.get_pose(q_bc, p_bc)
+                    y = qrot(qconj(qc), x - pc)
+                    if y[2] <= 1.0e-3 or y[2] > 50:
+                        is_valid = False
+                        break
+                    z = f.bearings[k]
+                    pred = np.array([y[0] / y[2] * Km[0, 0], y[1] / y[2] * Km[1, 1]])
+                    obs = np.array([z[0] / z[2] * Km[0, 0], z[1] / z[2] * Km[1, 1]])
+                    rpe += np.linalg.norm(pred - obs)
+                    cnt += 1.0
+                is_valid = is_valid and (rpe / max(cnt, 1.0) < 3.0)
+                t.set_tag(TT_VALID, is_valid)
+            else:
+                t.inv_depth = -1.0
+        for t in m.tracks.values():
+            if not t.tag(TT_VALID):
+                t.set_tag(TT_TRASH, True)
+
+    # ------------------------------------------------------------------
+    def slide_window(self):
+        """Marginalize oldest keyframes while the window is oversized
+        (reference :339-347)."""
+        m = self.map
+        while m.frame_num > self.config.sliding_window_size:
+            victim = m.get_frame(0)
+            for sub in victim.subframes:
+                m.untrack_frame(sub)
+            victim.subframes.clear()
+            self._marginalize_frame0()
+
+    def _marginalize_frame0(self):
+        m = self.map
+        frames = list(m.frames)
+        victim = frames[0]
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        fid_set = {f.id for f in frames}
+
+        # reprojection factors of tracks observed in the victim whose anchor
+        # is a keyframe (reference ceres/marginalization_factor.h:237-283)
+        reproj = []
+        tracks = []
+        for k in range(victim.keypoint_num):
+            t = m.get_track(victim, k)
+            if t is None or not t.tag(TT_VALID) or not t.tag(TT_TRIANGULATED):
+                continue
+            anchor = frames_by_id.get(t.first_frame_id())
+            if anchor is None or not anchor.tag(FT_KEYFRAME):
+                continue
+            if t.inv_depth <= 0:
+                continue
+            tracks.append(t)
+            for fid, kk in t.obs.items():
+                if fid == anchor.id or fid not in fid_set:
+                    continue
+                reproj.append((frames_by_id[fid], anchor, t, False))
+
+        imu = []
+        if len(frames) >= 2:
+            fj = frames[1]
+            chain = fj.keyframe_imu if fj.keyframe_imu is not None else (
+                fj.imu_dt, fj.imu_w, fj.imu_a
+            )
+            imu.append((victim, fj, chain, victim.bg.copy(), victim.ba.copy(), True))
+
+        if self.prior is None:
+            self.prior = F.initial_prior(
+                self.caps.W, builders._frame_states(frames, self.caps.W)
+            )
+        spec = builders.BASpec(
+            frames=frames,
+            fix_pose=[False] * len(frames),
+            fix_motion=[False] * len(frames),
+            opt_tracks=tracks, reproj=reproj, imu=imu, rot=[], prior=self.prior,
+        )
+        states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+        self.prior = marginalization.marginalize_frame0(states, invd, pb)
+
+        # re-anchor inverse depths of tracks losing their first frame
+        for t in list(m.tracks.values()):
+            if t.first_frame_id() == victim.id and t.tag(TT_TRIANGULATED) and t.inv_depth > 0:
+                x = builders.get_landmark_point(t, frames_by_id, self.calib)
+                k = t.obs.pop(victim.id)
+                victim.track_ids[k] = -1
+                if t.obs and t.first_frame_id() in frames_by_id:
+                    builders.set_landmark_point(t, x, frames_by_id, self.calib)
+                elif not t.obs:
+                    m.tracks.pop(t.id, None)
+        m.erase_frame(0)
+
+    # ------------------------------------------------------------------
+    def refine_subwindow(self):
+        """Subframe-only refinement under the last keyframe (reference :349-444)."""
+        m = self.map
+        frame = m.get_frame(m.frame_num - 1)
+        if not frame.subframes:
+            return
+        frames_by_id = {f.id: f for f in m.all_frames()}
+
+        if frame.subframes[0].tag(FT_NO_TRANSLATION):
+            # --- pure-rotation chain ---
+            if len(frame.subframes) >= 9:
+                # compress 3-into-1 (reference :354-371)
+                keep = []
+                groups = len(frame.subframes) // 3
+                subs = frame.subframes
+                for g in range(groups):
+                    trio = subs[g * 3 : g * 3 + 3]
+                    tgt = trio[-1]
+                    dts = [f.imu_dt for f in trio]
+                    ws = [f.imu_w for f in trio]
+                    accs = [f.imu_a for f in trio]
+                    tgt.imu_dt = np.concatenate(dts)
+                    tgt.imu_w = np.concatenate(ws)
+                    tgt.imu_a = np.concatenate(accs)
+                    for f in trio[:-1]:
+                        m.untrack_frame(f)
+                    keep.append(tgt)
+                keep.extend(subs[groups * 3 :])
+                frame.subframes = keep
+
+            subs = frame.subframes
+            frames = [frame] + subs
+            imu = []
+            for i, sub in enumerate(subs):
+                prev = frame if i == 0 else subs[i - 1]
+                imu.append((prev, sub, (sub.imu_dt, sub.imu_w, sub.imu_a),
+                            prev.bg.copy(), prev.ba.copy(), False))
+            last = subs[-1]
+            reproj = []
+            rot = []
+            extra = []
+            for k in range(last.keypoint_num):
+                t = m.get_track(last, k)
+                if t is None or not t.tag(TT_VALID):
+                    continue
+                anchor = frames_by_id.get(t.first_frame_id())
+                if anchor is None or anchor.id == last.id:
+                    continue
+                if t.tag(TT_TRIANGULATED):
+                    if t.tag(TT_STATIC):
+                        if anchor not in frames and anchor not in extra:
+                            extra.append(anchor)
+                        reproj.append((last, anchor, t, True))
+                else:
+                    rot.append((last, anchor, t))
+            all_frames = frames + extra
+            spec = builders.BASpec(
+                frames=all_frames,
+                fix_pose=[True] + [False] * len(subs) + [True] * len(extra),
+                fix_motion=[True] + [False] * len(subs) + [True] * len(extra),
+                opt_tracks=[], reproj=reproj, imu=imu, rot=rot,
+            )
+            states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+            res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
+            builders.apply_result(res, spec, lm_slot)
+        else:
+            # --- translating chain ---
+            subs = frame.subframes
+            frames = [frame] + subs
+            sub_ids = {f.id for f in frames}
+            imu = []
+            reproj = []
+            extra = []
+            opt_tracks = []
+            for i, sub in enumerate(subs):
+                prev = frame if i == 0 else subs[i - 1]
+                imu.append((prev, sub, (sub.imu_dt, sub.imu_w, sub.imu_a),
+                            prev.bg.copy(), prev.ba.copy(), False))
+                for k in range(sub.keypoint_num):
+                    t = m.get_track(sub, k)
+                    if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
+                        continue
+                    anchor = frames_by_id.get(t.first_frame_id())
+                    if anchor is None or anchor.id == sub.id:
+                        continue
+                    if anchor.tag(FT_KEYFRAME):
+                        if anchor not in frames and anchor not in extra:
+                            extra.append(anchor)
+                        reproj.append((sub, anchor, t, True))
+                    elif t.first_frame_id() > frame.id and anchor.id in sub_ids:
+                        # both target and anchor live in the subwindow: full
+                        # factor with optimized depth (reference :434-438)
+                        if t not in opt_tracks:
+                            opt_tracks.append(t)
+                        reproj.append((sub, anchor, t, False))
+            all_frames = frames + extra
+            spec = builders.BASpec(
+                frames=all_frames,
+                fix_pose=[True] + [False] * len(subs) + [True] * len(extra),
+                fix_motion=[True] + [False] * len(subs) + [True] * len(extra),
+                opt_tracks=opt_tracks, reproj=reproj, imu=imu, rot=[],
+            )
+            states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+            res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
+            builders.apply_result(res, spec, lm_slot)
+
+    # ------------------------------------------------------------------
+    # IMU-PARSAC dynamic-object rejection (reference :557-769)
+    # ------------------------------------------------------------------
+    def _predict_RT(self, frame_i: Frame, frame_j: Frame):
+        """Relative camera transform from current (IMU-predicted) poses
+        (reference predict_RT :529-555)."""
+        q_bc = np.asarray(self.calib.ext.q_bc)
+        p_bc = np.asarray(self.calib.ext.p_bc)
+        qi, pi = frame_i.get_pose(q_bc, p_bc)
+        qj, pj = frame_j.get_pose(q_bc, p_bc)
+        # P = inv(cam_j) * cam_i
+        q_rel = qmul(qconj(qj), qi)
+        t_rel = qrot(qconj(qj), pi - pj)
+        return q_to_R(q_rel), t_rel
+
+    def judge_track_status(self) -> bool:
+        """IMU-PARSAC static/dynamic labeling + adaptive epipolar threshold
+        (reference :557-718)."""
+        m = self.map
+        cfg = self.config
+        curr = m.get_frame(m.frame_num - 1)
+        keyframe = m.get_frame(m.frame_num - 2)
+        last = keyframe.subframes[-1] if keyframe.subframes else keyframe
+
+        builders.predict_frame(last, curr, self.calib, self.caps.IMU)
+
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        Km = self.calib.K
+        Ncap = self.caps.L
+        P2D = np.zeros((Ncap, 2))
+        P3D = np.zeros((Ncap, 3))
+        lens = np.zeros(Ncap)
+        valid = np.zeros(Ncap, bool)
+        kp_of_slot = {}
+        n = 0
+        for k in range(curr.keypoint_num):
+            t = m.get_track(curr, k)
+            if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED):
+                continue
+            if t.inv_depth <= 0 or t.first_frame_id() not in frames_by_id:
+                continue
+            if n >= Ncap:
+                break
+            b = curr.bearings[k]
+            P2D[n] = b[:2] / b[2]
+            P3D[n] = builders.get_landmark_point(t, frames_by_id, self.calib)
+            lens[n] = max(t.life, 0)
+            kp_of_slot[n] = k
+            valid[n] = True
+            n += 1
+        if n < 20:
+            return False
+
+        q_bc = np.asarray(self.calib.ext.q_bc)
+        p_bc = np.asarray(self.calib.ext.p_bc)
+        qc, pc = curr.get_pose(q_bc, p_bc)
+        Rcw = q_to_R(qconj(qc))
+        tcw = -qrot(qconj(qc), pc)
+
+        res = parsac.imu_parsac_pnp(
+            self._next_key(), jnp.asarray(P3D), jnp.asarray(P2D),
+            jnp.asarray(valid), jnp.asarray(lens),
+            jnp.asarray(Rcw), jnp.asarray(tcw),
+            self.bin_conf_imu,
+            threshold=cfg.parsac_threshold / Km[0, 0],
+            dynamic_prob=cfg.parsac_dynamic_probability,
+            norm_scale=cfg.parsac_norm_scale,
+            num_hypotheses=cfg.ransac_hypotheses,
+        )
+        self.bin_conf_imu = res.bin_confidences
+        mask = np.asarray(res.inlier_mask)
+
+        # epipolar-distance separation between inliers/outliers (reference
+        # :643-700) using the IMU-predicted relative pose
+        R, t_rel = self._predict_RT(keyframe, curr)
+        E = np.cross(np.eye(3), t_rel) @ R if False else _hat(t_rel) @ R
+        F_mat = np.linalg.inv(Km).T @ E @ np.linalg.inv(Km)
+
+        in_d, out_d = [], []
+        for s, k in kp_of_slot.items():
+            t = m.get_track(curr, k)
+            j = t.obs.get(keyframe.id)
+            if j is None:
+                continue
+            bk = keyframe.bearings[j]
+            bc = curr.bearings[k]
+            p1 = np.array([bk[0] / bk[2] * Km[0, 0] + Km[0, 2], bk[1] / bk[2] * Km[1, 1] + Km[1, 2]])
+            p2 = np.array([bc[0] / bc[2] * Km[0, 0] + Km[0, 2], bc[1] / bc[2] * Km[1, 1] + Km[1, 2]])
+            err = _epipolar_dist(F_mat, p1, p2) + _epipolar_dist(F_mat.T, p2, p1)
+            (in_d if mask[s] else out_d).append(err)
+
+        if len(in_d) < 20 or len(out_d) < 20:
+            return False
+        th1 = float(np.sort(in_d)[len(in_d) // 2])
+        th2 = float(np.sort(out_d)[len(out_d) // 2])
+        if th2 < th1 * 2:  # ambiguous separation
+            return False
+        self.m_th = (th1 + th2) / 2.0
+
+        for s, k in kp_of_slot.items():
+            t = m.get_track(curr, k)
+            if mask[s]:
+                t.set_tag(TT_OUTLIER, False)
+                t.set_tag(TT_STATIC, True)
+            else:
+                t.set_tag(TT_OUTLIER, True)
+                t.set_tag(TT_STATIC, False)
+        return True
+
+    def update_track_status(self):
+        """2D-2D PARSAC against recent keyframes; dynamic labels are sticky
+        and propagate into the FT map (reference :720-769)."""
+        m = self.map
+        cfg = self.config
+        curr = m.get_frame(m.frame_num - 1)
+        ft_map = self.feature_tracking_map
+        old_frame = None
+        if ft_map is not None:
+            idx = ft_map.frame_index_by_id(curr.id)
+            if idx is not None:
+                old_frame = ft_map.get_frame(idx)
+
+        Km = self.calib.K
+        outlier_cnts = np.zeros(curr.keypoint_num, int)
+        matches_cnts = np.zeros(curr.keypoint_num, int)
+        start = max(m.frame_num - 1 - cfg.parsac_keyframe_check_size, 0)
+        for i in range(start, m.frame_num - 1):
+            fi = m.get_frame(i)
+            pts1, pts2, kp_idx = [], [], []
+            for ki in range(fi.keypoint_num):
+                t = m.get_track(fi, ki)
+                if t is None:
+                    continue
+                kj = t.obs.get(curr.id)
+                if kj is None:
+                    continue
+                b1, b2 = fi.bearings[ki], curr.bearings[kj]
+                pts1.append(b1[:2] / b1[2])
+                pts2.append(b2[:2] / b2[2])
+                kp_idx.append(kj)
+            if len(pts1) < 10:
+                continue
+            Ncap = self.caps.L
+            p1 = np.zeros((Ncap, 2))
+            p2 = np.zeros((Ncap, 2))
+            val = np.zeros(Ncap, bool)
+            nn = min(len(pts1), Ncap)
+            p1[:nn] = np.asarray(pts1)[:nn]
+            p2[:nn] = np.asarray(pts2)[:nn]
+            val[:nn] = True
+            res = parsac.parsac_essential(
+                self._next_key(), jnp.asarray(p1), jnp.asarray(p2),
+                jnp.asarray(val), self.bin_conf_2d2d,
+                threshold=self.m_th / Km[0, 0],
+                norm_scale=cfg.parsac_norm_scale,
+                num_hypotheses=cfg.ransac_hypotheses,
+            )
+            self.bin_conf_2d2d = res.bin_confidences
+            mask = np.asarray(res.inlier_mask)
+            for j in range(nn):
+                matches_cnts[kp_idx[j]] += 1
+                if not mask[j]:
+                    outlier_cnts[kp_idx[j]] += 1
+
+        outlier_th = m.frame_num // 2
+        for k in range(curr.keypoint_num):
+            t = m.get_track(curr, k)
+            if t is None:
+                continue
+            if outlier_cnts[k] > outlier_th / 2 and outlier_cnts[k] > 0.8 * matches_cnts[k]:
+                t.set_tag(TT_STATIC, False)
+            if old_frame is not None and ft_map is not None:
+                j = t.obs.get(old_frame.id)
+                # sticky propagation between SWT and FT tracks
+                if j is not None:
+                    ot = ft_map.get_track(old_frame, j)
+                    if ot is not None and (not ot.tag(TT_STATIC) or not t.tag(TT_STATIC)):
+                        t.set_tag(TT_STATIC, False)
+                        ot.set_tag(TT_STATIC, False)
+
+    # ------------------------------------------------------------------
+    def get_latest_state(self):
+        f = self.map.get_frame(self.map.frame_num - 1)
+        if f.subframes:
+            f = f.subframes[-1]
+        return f.t, f.q.copy(), f.p.copy(), f.v.copy(), f.bg.copy(), f.ba.copy(), f.id
+
+    def get_landmarks(self):
+        frames_by_id = {f.id: f for f in self.map.all_frames()}
+        pts = []
+        for t in self.map.tracks.values():
+            if t.all_tagged(TT_VALID, TT_TRIANGULATED) and t.inv_depth > 0:
+                if t.first_frame_id() in frames_by_id:
+                    pts.append(builders.get_landmark_point(t, frames_by_id, self.calib))
+        return np.asarray(pts) if pts else np.zeros((0, 3))
+
+
+def _hat(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def _epipolar_dist(F_mat, p1, p2):
+    l = F_mat @ np.array([p1[0], p1[1], 1.0])
+    denom = np.linalg.norm(l[:2])
+    return abs(np.array([p2[0], p2[1], 1.0]) @ l) / max(denom, 1e-12)

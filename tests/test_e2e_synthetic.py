@@ -1,0 +1,89 @@
+"""M2 end-to-end test: the full pipeline (handler -> feature tracker ->
+initializer -> sliding-window tracker) on a synthetic sequence with perfect
+matches (SURVEY.md §4.2), asserting initialization succeeds and the tracked
+trajectory matches ground truth after SE3 alignment."""
+
+import numpy as np
+import pytest
+
+from rd_vio_tpu.config import Config
+from rd_vio_tpu.datasets import synthetic
+from rd_vio_tpu.models import builders
+from rd_vio_tpu.models.feature_tracker import SyntheticBackend
+from rd_vio_tpu.models.odometry import Odometry
+from rd_vio_tpu.utils.trajectory import ate_rmse
+
+
+def _run_pipeline(duration=8.0, parsac=False, n_dynamic=0, seed=648):
+    seq = synthetic.generate(
+        duration=duration, n_landmarks=1200, max_keypoints=150,
+        seed=seed, n_dynamic=n_dynamic,
+    )
+    cfg = Config()
+    cfg.camera_intrinsic = seq.K_mat
+    cfg.parsac_flag = parsac
+    cfg.parsac_dynamic_probability = 0.15 if parsac else 0.0
+    cfg.parsac_threshold = 1.0
+    cfg.ransac_hypotheses = 128
+    caps = builders.Caps(W=22, L=256, O=1536, Fi=20, R=128, IMU=64, IMU_KF=384)
+    odo = Odometry(cfg, SyntheticBackend(seq), caps=caps)
+
+    events = []
+    for i, t in enumerate(seq.t_imu):
+        events.append((t, 1, i))
+    for i, t in enumerate(seq.t_frame):
+        events.append((t, 0, i))  # frame first at equal timestamp
+    events.sort()
+
+    est_t, est_p, states = [], [], []
+    for t, kind, i in events:
+        if kind == 1:
+            odo.add_motion(t, seq.gyro[i], seq.accel[i])
+        else:
+            odo.add_frame(t, i)
+            if odo.state() == 1:
+                ls = odo.handler.get_latest_state()
+                if ls is not None:
+                    est_t.append(ls[0])
+                    est_p.append(ls[2])
+            states.append(odo.state())
+    return seq, np.asarray(est_t), np.asarray(est_p), states, odo
+
+
+@pytest.fixture(scope="module")
+def pipeline_run():
+    return _run_pipeline()
+
+
+def test_initializes_and_tracks(pipeline_run):
+    seq, est_t, est_p, states, odo = pipeline_run
+    assert 1 in states, "never reached tracking state"
+    # tracks continuously once initialized
+    first = states.index(1)
+    assert all(s == 1 for s in states[first:]), "tracking was lost"
+    assert len(est_p) > 50
+
+
+def test_trajectory_accuracy(pipeline_run):
+    seq, est_t, est_p, states, odo = pipeline_run
+    # associate by timestamp
+    gt_by_t = {round(t, 6): p for t, p in zip(seq.t_frame, seq.p_wb)}
+    gt = np.stack([gt_by_t[round(t, 6)] for t in est_t])
+    err = ate_rmse(est_p, gt)
+    assert err < 0.05, f"ATE {err:.4f} m too large"
+
+
+def test_landmarks_near_ground_truth(pipeline_run):
+    seq, est_t, est_p, states, odo = pipeline_run
+    from rd_vio_tpu.utils.trajectory import umeyama_se3
+
+    lm = odo.local_map()
+    assert len(lm) > 30
+    # the estimator's world frame differs from GT by a (yaw, translation) SE3;
+    # recover it from the trajectory and apply it to the landmark cloud
+    gt_by_t = {round(t, 6): p for t, p in zip(seq.t_frame, seq.p_wb)}
+    gt = np.stack([gt_by_t[round(t, 6)] for t in est_t])
+    _, R, t = umeyama_se3(est_p, gt)
+    lm_aligned = (R @ lm.T).T + t
+    d = np.linalg.norm(lm_aligned[:, None] - seq.landmarks[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.1
