@@ -1,0 +1,98 @@
+"""Benchmark: end-to-end VIO frames/s + ATE on a synthetic EuRoC-like sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is end-to-end VIO frames/s on one chip (the BASELINE.md target is
+>= 5x the reference CPU ingest pacing of ~33 fps); ATE and stage details go to
+stderr. Runs on whatever backend jax.devices() provides (the real TPU chip
+under the driver; CPU elsewhere).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from rd_vio_tpu.config import Config
+    from rd_vio_tpu.datasets import synthetic
+    from rd_vio_tpu.models import builders
+    from rd_vio_tpu.models.feature_tracker import SyntheticBackend
+    from rd_vio_tpu.models.odometry import Odometry
+    from rd_vio_tpu.utils.trajectory import ate_rmse
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    duration = 10.0
+    seq = synthetic.generate(duration=duration, n_landmarks=1200, max_keypoints=150)
+    cfg = Config()
+    cfg.camera_intrinsic = seq.K_mat
+    cfg.ransac_hypotheses = 128
+    caps = builders.Caps(W=22, L=256, O=1536, Fi=20, R=128, IMU=64, IMU_KF=384)
+    odo = Odometry(cfg, SyntheticBackend(seq), caps=caps)
+
+    events = sorted(
+        [(t, 1, i) for i, t in enumerate(seq.t_imu)]
+        + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
+    )
+
+    est_t, est_p = [], []
+    n_frames = 0
+    t_track_start = None
+    frames_tracked = 0
+    t0 = time.perf_counter()
+    for t, kind, i in events:
+        if kind == 1:
+            odo.add_motion(t, seq.gyro[i], seq.accel[i])
+        else:
+            odo.add_frame(t, i)
+            n_frames += 1
+            if odo.state() == 1:
+                if t_track_start is None:
+                    # exclude initialization + compile warmup from throughput
+                    t_track_start = time.perf_counter()
+                    frames_at_start = n_frames
+                frames_tracked += 1
+                ls = odo.handler.get_latest_state()
+                if ls is not None:
+                    est_t.append(ls[0])
+                    est_p.append(ls[2])
+    t_end = time.perf_counter()
+
+    if t_track_start is None or frames_tracked < 10:
+        print(json.dumps({"metric": "vio_frames_per_s_per_chip", "value": 0.0,
+                          "unit": "frames/s", "vs_baseline": 0.0}))
+        print("[bench] FAILED to reach tracking", file=sys.stderr)
+        return
+
+    # throughput over the tracked portion (excluding the first tracked frame's
+    # compile-heavy step): use frames after start marker
+    fps = (frames_tracked - 1) / max(t_end - t_track_start, 1e-9)
+
+    est_p = np.asarray(est_p)
+    gt_by_t = {round(tt, 6): p for tt, p in zip(seq.t_frame, seq.p_wb)}
+    gt = np.stack([gt_by_t[round(tt, 6)] for tt in est_t])
+    ate = ate_rmse(est_p, gt)
+
+    print(f"[bench] total wall {t_end - t0:.1f}s, frames {n_frames}, "
+          f"tracked {frames_tracked}, fps {fps:.2f}, ATE {ate:.4f} m",
+          file=sys.stderr)
+
+    # reference baseline: the reference example paces ingest at ~33 fps
+    # (BASELINE.md: test_euroc.cpp sleeps 30 ms/frame); target is >= 5x.
+    baseline_fps = 33.0
+    print(json.dumps({
+        "metric": "vio_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Good-features-to-track (Harris) corner detection with spacing.
+
+Behavioral reference: cv::goodFeaturesToTrack as used by
+/root/reference/src/rdvio_extra/src/opencv_image.cpp:184-188 (quality 1e-3,
+Harris detector) + the Poisson-disk spacing against existing keypoints and
+20-px border rejection of opencv_image.cpp:38-73.
+
+TPU-first: Sobel gradients + box-filtered structure tensor + Harris response
+are dense stencil math; non-max suppression is a 3x3 max-pool compare; the
+top-K candidates come from one `lax.top_k` over the flattened response; the
+greedy min-distance pass reuses ops/poisson_disk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rd_vio_tpu.ops.poisson_disk import poisson_disk_filter
+
+
+def _conv3(img, kx, ky):
+    # kx/ky are static Python tuples so zero taps drop out at trace time
+    pad = jnp.pad(img, 1, mode="edge")
+    H, W = img.shape
+    out = jnp.zeros_like(img)
+    for dy in range(3):
+        for dx in range(3):
+            w = ky[dy] * kx[dx]
+            if w != 0:
+                out = out + w * pad[dy : dy + H, dx : dx + W]
+    return out
+
+
+def harris_response(img, k: float = 0.04, block: int = 3):
+    """Harris corner response (f32)."""
+    img = img.astype(jnp.float32)
+    Ix = _conv3(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0)) / 8.0
+    Iy = _conv3(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0)) / 8.0
+
+    def box(x):
+        pad = jnp.pad(x, block // 2, mode="edge")
+        H, W = x.shape
+        out = jnp.zeros_like(x)
+        for dy in range(block):
+            for dx in range(block):
+                out = out + pad[dy : dy + H, dx : dx + W]
+        return out / (block * block)
+
+    a = box(Ix * Ix)
+    b = box(Ix * Iy)
+    c = box(Iy * Iy)
+    return (a * c - b * b) - k * (a + c) ** 2
+
+
+def _nms3(resp):
+    pad = jnp.pad(resp, 1, mode="constant", constant_values=-jnp.inf)
+    H, W = resp.shape
+    m = resp
+    for dy in range(3):
+        for dx in range(3):
+            m = jnp.maximum(m, pad[dy : dy + H, dx : dx + W])
+    return resp >= m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_points", "min_dist", "border", "cand_cap")
+)
+def detect_gftt(
+    img,
+    existing_pix,
+    existing_valid,
+    max_points: int = 150,
+    min_dist: float = 20.0,
+    quality: float = 1e-3,
+    border: int = 20,
+    cand_cap: int = 1024,
+):
+    """Detect up to `max_points` new corners respecting min_dist spacing
+    against `existing_pix` (preset points of the reference's PoissonDiskFilter).
+
+    Returns (pix (max_points, 2) f32, valid (max_points,) bool, scores).
+    """
+    H, W = img.shape
+    resp = harris_response(img)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ok = (
+        _nms3(resp)
+        & (resp > quality * jnp.max(resp))
+        & (xs >= border) & (xs < W - border)
+        & (ys >= border) & (ys < H - border)
+    )
+    flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
+    scores, idx = jax.lax.top_k(flat, cand_cap)
+    cand = jnp.stack(
+        [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1
+    )
+    cand_valid = jnp.isfinite(scores)
+
+    n_exist = existing_pix.shape[0]
+    pts = jnp.concatenate([existing_pix.astype(jnp.float32), cand], axis=0)
+    val = jnp.concatenate([existing_valid, cand_valid], axis=0)
+    acc = poisson_disk_filter(
+        pts, val, min_distance=min_dist, width=float(W), height=float(H),
+        preset_count=n_exist,
+    )
+    new_ok = acc[n_exist:] & cand_valid
+    # keep first max_points accepted in response order
+    order_rank = jnp.cumsum(new_ok.astype(jnp.int32)) - 1
+    keep = new_ok & (order_rank < max_points)
+    # compact into fixed max_points slots
+    slot = jnp.where(keep, order_rank, cand_cap)
+    out_pix = jnp.zeros((max_points + 1, 2), jnp.float32)
+    out_val = jnp.zeros((max_points + 1,), bool)
+    out_score = jnp.zeros((max_points + 1,), jnp.float32)
+    slot_c = jnp.minimum(slot, max_points)
+    out_pix = out_pix.at[slot_c].set(jnp.where(keep[:, None], cand, 0.0))
+    out_val = out_val.at[slot_c].max(keep)
+    out_score = out_score.at[slot_c].max(jnp.where(keep, scores, 0.0))
+    return out_pix[:max_points], out_val[:max_points], out_score[:max_points]

@@ -1,0 +1,308 @@
+"""Distributed sliding-window BA: landmark blocks sharded across a device
+mesh, Schur reduction via psum, replicated dense camera solve.
+
+This is the multi-chip component SURVEY.md §2 lists as having **no reference
+counterpart** (the reference is single-threaded CPU): the design follows the
+north-star in BASELINE.json — per-shard landmark-block reduction -> one `psum`
+of the (W*15)^2 camera Hessian/gradient (~300 KB, trivially cheap over ICI) ->
+replicated dense Cholesky -> local landmark back-substitution.
+
+Sharding layout (host builder guarantees it):
+- reprojection factor arrays: sharded over the observation axis, with all
+  observations of a landmark placed in the same shard;
+- landmark arrays (inv_depth, opt_lm): sharded over L, indices shard-local;
+- frame states, IMU factors, rotation priors, marginalization prior: replicated
+  (the window is tiny — SURVEY.md §5 "pose state stays replicated").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rd_vio_tpu.estimation import ba
+from rd_vio_tpu.estimation.state import ES_SIZE, FrameStates, retract
+
+
+LM_AXIS = "lm"
+
+
+def make_vio_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(devs[:n], (LM_AXIS,))
+
+
+def relayout_for_sharding(invd, pb: ba.BAProblem, n_shards: int):
+    """Host-side re-layout so shard k owns landmark slots [k*L/n, (k+1)*L/n)
+    and exactly the observation rows referencing them (padded per shard).
+
+    Returns (invd, pb) with permuted landmark slots and observation rows; the
+    permutation is recorded nowhere — callers needing to map results back
+    should use the returned pb's lm indices.
+    """
+    import numpy as np
+
+    L = int(invd.shape[0])
+    O = int(pb.reproj.tgt.shape[0])
+    assert L % n_shards == 0 and O % n_shards == 0
+    L_loc, O_loc = L // n_shards, O // n_shards
+
+    lm = np.asarray(pb.reproj.lm)
+    valid = np.asarray(pb.reproj.valid)
+    opt_lm = np.asarray(pb.opt_lm)
+    invd_h = np.asarray(invd)
+
+    # count observations per landmark; greedy round-robin landmarks into
+    # shards balancing observation counts
+    obs_by_lm = {}
+    for o in np.flatnonzero(valid):
+        obs_by_lm.setdefault(int(lm[o]), []).append(int(o))
+    order = sorted(obs_by_lm, key=lambda l: -len(obs_by_lm[l]))
+    shard_lms = [[] for _ in range(n_shards)]
+    shard_obs = [0] * n_shards
+    for l in order:
+        k = int(np.argmin(shard_obs))
+        if len(shard_lms[k]) >= L_loc or shard_obs[k] + len(obs_by_lm[l]) > O_loc:
+            # fall back to any shard with room
+            for k2 in np.argsort(shard_obs):
+                if len(shard_lms[int(k2)]) < L_loc and shard_obs[int(k2)] + len(obs_by_lm[l]) <= O_loc:
+                    k = int(k2)
+                    break
+        shard_lms[k].append(l)
+        shard_obs[k] += len(obs_by_lm[l])
+
+    # landmark permutation: new slot = shard*L_loc + position
+    new_slot = np.arange(L)
+    used = set()
+    for k, lms in enumerate(shard_lms):
+        for i, l in enumerate(lms):
+            new_slot[l] = k * L_loc + i
+            used.add(l)
+    # unused/invalid landmark slots fill remaining positions
+    taken = set(int(new_slot[l]) for l in used)
+    spare = iter([s for s in range(L) if s not in taken])
+    for l in range(L):
+        if l not in used:
+            new_slot[l] = next(spare)
+
+    invd_new = np.ones(L)
+    opt_new = np.zeros(L, bool)
+    invd_new[new_slot] = invd_h
+    opt_new[new_slot] = opt_lm
+
+    # observation rows: place each shard's obs contiguously
+    perm_rows = np.zeros(O, dtype=np.int64)
+    row_valid = np.zeros(O, bool)
+    pos = 0
+    fill = []
+    for k, lms in enumerate(shard_lms):
+        rows = [o for l in lms for o in obs_by_lm[l]]
+        base = k * O_loc
+        for i, o in enumerate(rows):
+            perm_rows[base + i] = o
+            row_valid[base + i] = True
+        fill.append((base + len(rows), (k + 1) * O_loc))
+
+    def take(a):
+        out = np.asarray(a)[perm_rows]
+        return out
+
+    reproj = pb.reproj._replace(
+        tgt=jnp.asarray(take(pb.reproj.tgt)),
+        ref=jnp.asarray(take(pb.reproj.ref)),
+        lm=jnp.asarray(new_slot[take(pb.reproj.lm)].astype(np.int32)),
+        z_ref=jnp.asarray(take(pb.reproj.z_ref)),
+        z_tgt=jnp.asarray(take(pb.reproj.z_tgt)),
+        valid=jnp.asarray(row_valid & take(pb.reproj.valid)),
+    )
+    return jnp.asarray(invd_new), pb._replace(
+        reproj=reproj, opt_lm=jnp.asarray(opt_new)
+    )
+
+
+def shard_problem(mesh: Mesh, invd, pb: ba.BAProblem):
+    """Device-put the problem with the layout above. Assumes the host builder
+    already grouped observations by landmark shard (O and L divisible by the
+    mesh size)."""
+    shard_O = NamedSharding(mesh, P(LM_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    reproj = type(pb.reproj)(
+        tgt=jax.device_put(pb.reproj.tgt, shard_O),
+        ref=jax.device_put(pb.reproj.ref, shard_O),
+        lm=jax.device_put(pb.reproj.lm, shard_O),
+        z_ref=jax.device_put(pb.reproj.z_ref, shard_O),
+        z_tgt=jax.device_put(pb.reproj.z_tgt, shard_O),
+        valid=jax.device_put(pb.reproj.valid, shard_O),
+    )
+    pb = pb._replace(
+        reproj=reproj,
+        opt_lm=jax.device_put(pb.opt_lm, shard_O),
+        imu=jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), pb.imu),
+        rot=jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), pb.rot),
+        prior=jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), pb.prior),
+    )
+    return jax.device_put(invd, shard_O), pb
+
+
+def _local_vision_system(states, invd_local, pb_local, L_local):
+    """Shard-local vision rows -> (Hv, gv, Hll, Hcl, bl, cost_v). Runs inside
+    shard_map; landmark indices in pb_local.reproj.lm are shard-local."""
+    W = states.q.shape[0]
+    D = W * ES_SIZE
+    dtype = states.q.dtype
+    r_v, Jc_v, Jl_v = ba.linearize_reprojection(states, invd_local, pb_local)
+    s_v = jnp.sum(r_v * r_v, axis=-1)
+    valid = pb_local.reproj.valid
+    cost_v = jnp.sum(jnp.where(valid, jnp.log1p(s_v), 0.0))
+    w_v = jnp.where(valid, 1.0 / (1.0 + s_v), 0.0)
+    sw = jnp.sqrt(w_v)[:, None]
+    Jl_v = Jl_v * pb_local.opt_lm[pb_local.reproj.lm].astype(dtype)[:, None]
+    rv = (r_v * sw).reshape(-1)
+    Jv = (Jc_v * sw[..., None]).reshape(-1, D)
+    Jlv = (Jl_v * sw).reshape(-1)
+    rows = jnp.repeat(pb_local.reproj.lm, 2)
+    Hv = Jv.T @ Jv
+    gv = Jv.T @ rv
+    Hll = jax.ops.segment_sum(Jlv * Jlv, rows, num_segments=L_local)
+    bl = jax.ops.segment_sum(Jlv * rv, rows, num_segments=L_local)
+    Hcl = jax.ops.segment_sum(Jlv[:, None] * Jv, rows, num_segments=L_local)
+    return Hv, gv, Hll, Hcl, bl, cost_v
+
+
+def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
+                     max_iterations: int = 10):
+    """LM solve with the vision/landmark work sharded over the mesh.
+
+    Returns (states, invd_sharded, cost). Numerically equivalent to
+    ba.solve_ba up to reduction order."""
+    W = states.q.shape[0]
+    D = W * ES_SIZE
+    n_shards = mesh.shape[LM_AXIS]
+    L_local = invd.shape[0] // n_shards
+
+    reproj_spec = type(pb.reproj)(
+        tgt=P(LM_AXIS), ref=P(LM_AXIS), lm=P(LM_AXIS),
+        z_ref=P(LM_AXIS), z_tgt=P(LM_AXIS), valid=P(LM_AXIS),
+    )
+    pb_spec = ba.BAProblem(
+        reproj=reproj_spec,
+        imu=jax.tree_util.tree_map(lambda _: P(), pb.imu),
+        rot=jax.tree_util.tree_map(lambda _: P(), pb.rot),
+        prior=jax.tree_util.tree_map(lambda _: P(), pb.prior),
+        prior_valid=P(), ext=jax.tree_util.tree_map(lambda _: P(), pb.ext),
+        sqrt_inv_cov2=P(),
+        opt_pose=P(), opt_motion=P(), opt_lm=P(LM_AXIS),
+    )
+    states_spec = jax.tree_util.tree_map(lambda _: P(), states)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(states_spec, P(LM_AXIS), pb_spec),
+        out_specs=(states_spec, P(LM_AXIS), P()),
+        # the returned states/cost are numerically replicated (every shard
+        # derives them from psum'd quantities) but the vma type system cannot
+        # prove it through the accept/reject scan
+        check_vma=False,
+    )
+    def _solve(states, invd_local, pb_local):
+        dtype = states.q.dtype
+        # landmark indices arrive global; each shard owns a contiguous chunk,
+        # so the local slot is simply (global mod L_local)
+        pb_local = pb_local._replace(
+            reproj=pb_local.reproj._replace(lm=pb_local.reproj.lm % L_local)
+        )
+        cmask = ba._col_mask(pb_local, W, dtype)
+
+        def eval_cost(s, idl):
+            rf = pb_local.reproj
+            from rd_vio_tpu.estimation import factors as Fct
+
+            q_t, p_t = s.q[rf.tgt], s.p[rf.tgt]
+            q_r, p_r = s.q[rf.ref], s.p[rf.ref]
+            idp = jnp.maximum(idl[rf.lm], 1e-12)
+            r_v = jax.vmap(
+                lambda a, b, c, d, e, f, g: Fct.reprojection_residual(
+                    a, b, c, d, e, f, g, pb_local.ext, pb_local.sqrt_inv_cov2
+                )
+            )(q_t, p_t, q_r, p_r, idp, rf.z_ref, rf.z_tgt)
+            s_v = jnp.sum(r_v * r_v, axis=-1)
+            c_v = jax.lax.psum(
+                jnp.sum(jnp.where(rf.valid, jnp.log1p(s_v), 0.0)), LM_AXIS
+            )
+            # replicated parts: reuse single-device cost with vision masked out
+            pb_novis = pb_local._replace(
+                reproj=rf._replace(valid=jnp.zeros_like(rf.valid))
+            )
+            c_rest = ba.compute_cost(s, idl, pb_novis) * 2.0  # 0.5 factor undone below
+            return 0.5 * c_v + 0.5 * c_rest
+
+        def body(carry, _):
+            s, idl, lam, cost, n_acc = carry
+            # shard-local vision normal equations
+            Hv, gv, Hll, Hcl, bl, _ = _local_vision_system(s, idl, pb_local, L_local)
+            # replicated rows (imu + rot + prior): compute with vision zeroed
+            pb_novis = pb_local._replace(
+                reproj=pb_local.reproj._replace(
+                    valid=jnp.zeros_like(pb_local.reproj.valid)
+                )
+            )
+            H_r, g_r, _, _, _, _ = ba.build_normal_system(s, idl, pb_novis)
+            # masked columns on the vision part too
+            Hv = Hv * (cmask[:, None] * cmask[None, :])
+            gv = gv * cmask
+            Hcl = Hcl * cmask[None, :]
+            H = jax.lax.psum(Hv, LM_AXIS) + H_r
+            g = jax.lax.psum(gv, LM_AXIS) + g_r
+
+            # damped Schur: local landmark reduction, psum'd camera correction
+            diagH = jnp.diag(H)
+            Hd = H + lam * jnp.diag(diagH) + 1e-12 * jnp.eye(D, dtype=dtype)
+            Hll_d = Hll * (1.0 + lam) + 1e-12
+            lm_on = pb_local.opt_lm & (Hll > 1e-12)
+            inv_Hll = jnp.where(lm_on, 1.0 / Hll_d, 0.0)
+            corrH = jax.lax.psum(Hcl.T @ (Hcl * inv_Hll[:, None]), LM_AXIS)
+            corrg = jax.lax.psum(Hcl.T @ (bl * inv_Hll), LM_AXIS)
+            Hred = Hd - corrH
+            gred = g - corrg
+            Hred = Hred * (cmask[:, None] * cmask[None, :]) + jnp.diag(1.0 - cmask)
+            gred = gred * cmask
+            Lc = jnp.linalg.cholesky(Hred)
+            y = jax.scipy.linalg.solve_triangular(Lc, -gred, lower=True)
+            dc = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+            dc = jnp.where(jnp.isfinite(dc), dc, 0.0) * cmask
+            dl = -(bl + Hcl @ dc) * inv_Hll  # local landmarks
+
+            s_new = retract(s, dc.reshape(W, ES_SIZE))
+            idl_new = idl + dl * pb_local.opt_lm.astype(dtype)
+            cost_new = eval_cost(s_new, idl_new)
+            accept = (cost_new < cost) & jnp.isfinite(cost_new)
+            s = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), s, s_new)
+            idl = jnp.where(accept, idl_new, idl)
+            cost = jnp.where(accept, cost_new, cost)
+            lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9),
+                            jnp.minimum(lam * 4.0, 1e8))
+            return (s, idl, lam, cost, n_acc + accept.astype(jnp.int32)), None
+
+        cost0 = eval_cost(states, invd_local)
+        # mark replicated carry components as varying over the mesh axis so
+        # the scan carry type is stable (shard_map vma rule)
+        vary = lambda x: jax.lax.pcast(x, (LM_AXIS,), to="varying")
+        init = (
+            jax.tree_util.tree_map(vary, states),
+            invd_local,
+            vary(jnp.asarray(1e-4, states.q.dtype)),
+            cost0,
+            vary(jnp.asarray(0, jnp.int32)),
+        )
+        (s, idl, lam, cost, n_acc), _ = jax.lax.scan(
+            body, init, None, length=max_iterations
+        )
+        return s, idl, cost
+
+    return _solve(states, invd, pb)
