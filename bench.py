@@ -28,12 +28,12 @@ def main():
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
-    duration = 10.0
+    duration = 8.0
     seq = synthetic.generate(duration=duration, n_landmarks=1200, max_keypoints=150)
     cfg = Config()
     cfg.camera_intrinsic = seq.K_mat
     cfg.ransac_hypotheses = 128
-    caps = builders.Caps(W=22, L=256, O=1536, Fi=20, R=128, IMU=64, IMU_KF=384)
+    caps = builders.Caps(W=13, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
     odo = Odometry(cfg, SyntheticBackend(seq), caps=caps)
 
     events = sorted(
@@ -52,6 +52,9 @@ def main():
         else:
             odo.add_frame(t, i)
             n_frames += 1
+            if n_frames % 25 == 0:
+                print(f"[bench] frame {n_frames} state {odo.state()} "
+                      f"t={time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
             if odo.state() == 1:
                 if t_track_start is None:
                     # exclude initialization + compile warmup from throughput

@@ -19,9 +19,21 @@ marginalization/triangulation conditioning demands it); x64 is enabled at
 package import. Image kernels explicitly use f32.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the f64 estimation programs are expensive to
+# compile (notably through remote-compile TPU setups); cache them across
+# processes so only the first run pays.
+if not _jax.config.jax_compilation_cache_dir:
+    _cache_dir = _os.environ.get(
+        "RD_VIO_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/jax_rdvio")
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 

@@ -134,7 +134,8 @@ def build_window_problem(
         np.diag([Km[0, 0] / sigma_px, Km[1, 1] / sigma_px]), dtype
     )
     pb = ba.BAProblem(
-        reproj=reproj, imu=imu, rot=rot, prior=prior,
+        reproj=reproj, reproj_prior=F.empty_reproj_prior(), imu=imu,
+        imu_prior=F.empty_imu_prior(), rot=rot, prior=prior,
         prior_valid=jnp.asarray(True),
         ext=identity_ext(), sqrt_inv_cov2=sic2,
         opt_pose=jnp.ones(W, bool), opt_motion=jnp.ones(W, bool),

@@ -37,7 +37,9 @@ from rd_vio_tpu.ops.preintegration import PreintDelta
 
 class BAProblem(NamedTuple):
     reproj: F.ReprojFactors
+    reproj_prior: F.ReprojPriorFactors  # fixed-anchor vision priors
     imu: F.ImuFactors
+    imu_prior: F.ImuPriorFactors  # fixed-i preintegration priors
     rot: F.RotFactors
     prior: F.PriorFactor
     prior_valid: jnp.ndarray  # scalar bool — include the prior term?
@@ -103,6 +105,56 @@ def linearize_reprojection(states: FrameStates, inv_depth, pb: BAProblem):
     )
     Jl = J[:, :, 12]
     return r, Jc, Jl
+
+
+def linearize_reproj_prior(states: FrameStates, pb: BAProblem):
+    """Fixed-anchor reprojection priors: 6-dim local Jacobian on the target
+    pose only. Returns (r (P,2), Jc (P,2,D))."""
+    rf = pb.reproj_prior
+    W = states.q.shape[0]
+    q_t, p_t = states.q[rf.tgt], states.p[rf.tgt]
+    invd = jnp.maximum(rf.inv_depth, 1e-12)
+
+    def local(d, q_tgt, p_tgt, q_ref, p_ref, idp, z_r, z_t):
+        q_tgt2 = quat_mul(q_tgt, expmap(d[0:3]))
+        p_tgt2 = p_tgt + d[3:6]
+        return F.reprojection_residual(
+            q_tgt2, p_tgt2, q_ref, p_ref, idp, z_r, z_t, pb.ext, pb.sqrt_inv_cov2
+        )
+
+    zeros = jnp.zeros((rf.tgt.shape[0], 6), q_t.dtype)
+    args = (q_t, p_t, rf.q_ref, rf.p_ref, invd, rf.z_ref, rf.z_tgt)
+    r = jax.vmap(local)(zeros, *args)
+    J = jax.vmap(jax.jacfwd(local))(zeros, *args)
+    Jc = _scatter_frame_block(J, rf.tgt, W)
+    return r, Jc
+
+
+def linearize_imu_prior(states: FrameStates, pb: BAProblem):
+    """Fixed-i preintegration priors: 15-dim local Jacobian on frame j only.
+    Bias linearization point = the fixed frame-i biases (dbg = 0), matching
+    CeresPreIntegrationPriorFactor semantics."""
+    mf = pb.imu_prior
+    W = states.q.shape[0]
+    sj = jax.tree_util.tree_map(lambda a: a[mf.j], states)
+
+    def local(d, qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, delta, sic):
+        qj2 = quat_mul(qj, expmap(d[0:3]))
+        return F.preintegration_residual(
+            qi, pi, vi, bgi, bai,
+            qj2, pj + d[3:6], vj + d[6:9], bgj + d[9:12], baj + d[12:15],
+            delta, sic, bgi, bai, pb.ext,
+        )
+
+    zeros = jnp.zeros((mf.j.shape[0], 15), states.q.dtype)
+    args = (
+        mf.q_i, mf.p_i, mf.v_i, mf.bg_i, mf.ba_i,
+        sj.q, sj.p, sj.v, sj.bg, sj.ba, mf.delta, mf.sqrt_inv_cov,
+    )
+    r = jax.vmap(local)(zeros, *args)
+    J = jax.vmap(jax.jacfwd(local))(zeros, *args)
+    Jc = _scatter_frame_block(J, mf.j, W)
+    return r, Jc
 
 
 def linearize_imu(states: FrameStates, pb: BAProblem):
@@ -190,6 +242,25 @@ def compute_cost(states, inv_depth, pb: BAProblem):
     s_v = jnp.sum(r_v * r_v, axis=-1)
     c_v = jnp.sum(jnp.where(rf.valid, _cauchy_rho(s_v), 0.0))
 
+    rp = pb.reproj_prior
+    r_vp = jax.vmap(
+        lambda a, b, c, d, e, f, g: F.reprojection_residual(
+            a, b, c, d, e, f, g, pb.ext, pb.sqrt_inv_cov2
+        )
+    )(states.q[rp.tgt], states.p[rp.tgt], rp.q_ref, rp.p_ref,
+      jnp.maximum(rp.inv_depth, 1e-12), rp.z_ref, rp.z_tgt)
+    s_vp = jnp.sum(r_vp * r_vp, axis=-1)
+    c_v = c_v + jnp.sum(jnp.where(rp.valid, _cauchy_rho(s_vp), 0.0))
+
+    mp = pb.imu_prior
+    sjp = jax.tree_util.tree_map(lambda a: a[mp.j], states)
+    r_mp = jax.vmap(
+        lambda *a: F.preintegration_residual(*a, pb.ext)
+    )(mp.q_i, mp.p_i, mp.v_i, mp.bg_i, mp.ba_i,
+      sjp.q, sjp.p, sjp.v, sjp.bg, sjp.ba,
+      mp.delta, mp.sqrt_inv_cov, mp.bg_i, mp.ba_i)
+    c_mp = jnp.sum(jnp.where(mp.valid, jnp.sum(r_mp * r_mp, axis=-1), 0.0))
+
     mf = pb.imu
     si = jax.tree_util.tree_map(lambda a: a[mf.i], states)
     sj = jax.tree_util.tree_map(lambda a: a[mf.j], states)
@@ -209,7 +280,7 @@ def compute_cost(states, inv_depth, pb: BAProblem):
     r_p = F.prior_residual(states, pb.prior) * pb.prior_valid.astype(r_v.dtype)
     c_p = jnp.sum(r_p * r_p)
 
-    return 0.5 * (c_v + c_m + c_r + c_p)
+    return 0.5 * (c_v + c_m + c_mp + c_r + c_p)
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +313,20 @@ def build_normal_system(states, inv_depth, pb: BAProblem):
     Jlv = (Jl_v * sw_v).reshape(-1)
     lm_rows = jnp.repeat(pb.reproj.lm, 2)
 
+    # --- fixed-anchor vision prior rows (Cauchy IRLS) ---
+    r_vp, Jc_vp = linearize_reproj_prior(states, pb)
+    s_vp = jnp.sum(r_vp * r_vp, axis=-1)
+    w_vp = jnp.where(pb.reproj_prior.valid, 1.0 / (1.0 + s_vp), 0.0)
+    sw_vp = jnp.sqrt(w_vp)[:, None]
+    rvp = (r_vp * sw_vp).reshape(-1)
+    Jvp = (Jc_vp * sw_vp[..., None]).reshape(-1, D) * cmask[None, :]
+
+    # --- fixed-i imu prior rows ---
+    r_mp, Jc_mp = linearize_imu_prior(states, pb)
+    wmp = jnp.sqrt(pb.imu_prior.valid.astype(dtype))[:, None]
+    rmp = (r_mp * wmp).reshape(-1)
+    Jmp = (Jc_mp * wmp[..., None]).reshape(-1, D) * cmask[None, :]
+
     # --- imu rows ---
     r_m, Jc_m = linearize_imu(states, pb)
     wm = jnp.sqrt(pb.imu.valid.astype(dtype))[:, None]
@@ -261,8 +346,8 @@ def build_normal_system(states, inv_depth, pb: BAProblem):
     J_p = J_p * cmask[None, :]
 
     # --- normal equations: one stacked matmul each ---
-    J_all = jnp.concatenate([Jv, Jm, Jr, J_p], axis=0)
-    r_all = jnp.concatenate([rv, rm, rr, r_p], axis=0)
+    J_all = jnp.concatenate([Jv, Jvp, Jm, Jmp, Jr, J_p], axis=0)
+    r_all = jnp.concatenate([rv, rvp, rm, rmp, rr, r_p], axis=0)
     H = J_all.T @ J_all
     g = J_all.T @ r_all
 

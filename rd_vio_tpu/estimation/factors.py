@@ -65,6 +65,63 @@ class ImuFactors(NamedTuple):
     valid: jnp.ndarray  # (F,) bool
 
 
+class ReprojPriorFactors(NamedTuple):
+    """Reprojection PRIOR observations: anchor pose and inverse depth are
+    constants baked into the factor data (reference
+    CeresReprojectionPriorFactor, reprojection_factor.h:99-122). Only the
+    target frame occupies a state slot — this keeps per-frame localization and
+    subwindow solves tiny."""
+
+    tgt: jnp.ndarray  # (P,)
+    q_ref: jnp.ndarray  # (P, 4) fixed anchor pose
+    p_ref: jnp.ndarray  # (P, 3)
+    inv_depth: jnp.ndarray  # (P,) fixed
+    z_ref: jnp.ndarray  # (P, 3)
+    z_tgt: jnp.ndarray  # (P, 3)
+    valid: jnp.ndarray  # (P,) bool
+
+
+class ImuPriorFactors(NamedTuple):
+    """Preintegration PRIOR: frame i state is constant data (reference
+    CeresPreIntegrationPriorFactor, preintegration_factor.h:165-198)."""
+
+    j: jnp.ndarray  # (F,)
+    q_i: jnp.ndarray  # (F, 4)
+    p_i: jnp.ndarray  # (F, 3)
+    v_i: jnp.ndarray  # (F, 3)
+    bg_i: jnp.ndarray  # (F, 3)
+    ba_i: jnp.ndarray  # (F, 3)
+    delta: "PreintDelta"  # leaves (F, ...)
+    sqrt_inv_cov: jnp.ndarray  # (F, 15, 15)
+    valid: jnp.ndarray  # (F,) bool
+
+
+def empty_reproj_prior(P: int = 1, dtype=jnp.float64) -> "ReprojPriorFactors":
+    unit_z = jnp.tile(jnp.asarray([0.0, 0, 1.0], dtype), (P, 1))
+    return ReprojPriorFactors(
+        tgt=jnp.zeros(P, jnp.int32),
+        q_ref=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (P, 1)),
+        p_ref=jnp.zeros((P, 3), dtype), inv_depth=jnp.ones(P, dtype),
+        z_ref=unit_z, z_tgt=unit_z, valid=jnp.zeros(P, bool),
+    )
+
+
+def empty_imu_prior(Fp: int = 1, dtype=jnp.float64) -> "ImuPriorFactors":
+    from rd_vio_tpu.ops.preintegration import zero_delta
+
+    delta = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (Fp,) + a.shape), zero_delta(dtype)
+    )
+    z3 = jnp.zeros((Fp, 3), dtype)
+    return ImuPriorFactors(
+        j=jnp.zeros(Fp, jnp.int32),
+        q_i=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (Fp, 1)),
+        p_i=z3, v_i=z3, bg_i=z3, ba_i=z3,
+        delta=delta, sqrt_inv_cov=jnp.tile(jnp.eye(15, dtype=dtype)[None], (Fp, 1, 1)),
+        valid=jnp.zeros(Fp, bool),
+    )
+
+
 class RotFactors(NamedTuple):
     """Rotation-only reprojection priors, [Or] leading axis; the anchor frame
     pose is held constant (reference rotation_factor.h)."""

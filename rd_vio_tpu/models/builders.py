@@ -35,7 +35,9 @@ class Caps:
     W: int = 20  # frame slots per solve
     L: int = 512  # landmark slots
     O: int = 3072  # reprojection factor slots
+    P: int = 512  # fixed-anchor reprojection-prior slots
     Fi: int = 24  # imu factor slots
+    Fp: int = 4  # fixed-i imu-prior slots
     R: int = 256  # rotation-prior factor slots
     IMU: int = 96  # imu samples per frame interval
     IMU_KF: int = 512  # imu samples per keyframe chain
@@ -139,19 +141,24 @@ def integrate_single(frame: Frame, bg0, ba0, calib: CalibArrays, cap: int):
 
 def predict_frame(frame_prev: Frame, frame: Frame, calib: CalibArrays, cap: int):
     """Preintegrate frame's interval at prev biases and propagate the state
-    (reference mirror_frame tail / judge_track_status head)."""
+    (reference mirror_frame tail / judge_track_status head). The gravity-aware
+    propagation runs host-side (tiny math; avoids eager device ops on the
+    per-frame hot path)."""
     delta, sic = integrate_single(frame, frame_prev.bg, frame_prev.ba, calib, cap)
-    q, p, v, bg, ba_ = pre.predict(
-        delta,
-        jnp.asarray(frame_prev.q), jnp.asarray(frame_prev.p),
-        jnp.asarray(frame_prev.v), jnp.asarray(frame_prev.bg),
-        jnp.asarray(frame_prev.ba),
+    dt = float(delta.t)
+    dq = np.asarray(delta.q)
+    dp = np.asarray(delta.p)
+    dv = np.asarray(delta.v)
+    g = np.array([0.0, 0.0, -9.80665])
+    frame.v = frame_prev.v + g * dt + qrot(frame_prev.q, dv)
+    frame.p = (
+        frame_prev.p + 0.5 * g * dt * dt + frame_prev.v * dt
+        + qrot(frame_prev.q, dp)
     )
-    frame.q = np.asarray(q)
-    frame.p = np.asarray(p)
-    frame.v = np.asarray(v)
-    frame.bg = np.asarray(frame_prev.bg).copy()
-    frame.ba = np.asarray(frame_prev.ba).copy()
+    qn = qmul(frame_prev.q, dq)
+    frame.q = qn / np.linalg.norm(qn)
+    frame.bg = frame_prev.bg.copy()
+    frame.ba = frame_prev.ba.copy()
     return delta, sic
 
 
@@ -169,13 +176,18 @@ class BASpec:
     fix_motion: List[bool]
     opt_tracks: List[Track]  # landmark slots (inverse depth optimized)
     # (tgt_frame, anchor_frame, track, fixed_depth) — fixed_depth=True for
-    # "prior" flavor factors (anchor pose must then also be a fixed frame)
+    # "prior" flavor factors with the anchor included as a fixed frame slot
     reproj: List[Tuple[Frame, Frame, Track, bool]]
     # (frame_i, frame_j, (dt,w,a), bg0, ba0, use_kf_cap)
     imu: List[Tuple[Frame, Frame, tuple, np.ndarray, np.ndarray, bool]]
     # (tgt_frame, anchor_frame, track)
     rot: List[Tuple[Frame, Frame, Track]]
     prior: Optional[F.PriorFactor] = None  # over slots 0.. of `frames`
+    # fixed-anchor reprojection priors: (tgt_frame, anchor_frame, track) —
+    # anchor pose + inverse depth baked in as constants (no frame slot needed)
+    reproj_prior: List[Tuple[Frame, Frame, Track]] = dataclasses.field(default_factory=list)
+    # fixed-i preintegration priors: (frame_i, frame_j, (dt,w,a))
+    imu_prior: List[Tuple[Frame, Frame, tuple]] = dataclasses.field(default_factory=list)
 
 
 def _frame_states(frames: List[Frame], W: int) -> FrameStates:
@@ -292,6 +304,73 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
         valid=jnp.asarray(fi_val),
     )
 
+    # fixed-anchor reprojection priors
+    Pcap = caps.P
+    q_bc_h = np.asarray(calib.ext.q_bc)
+    p_bc_h = np.asarray(calib.ext.p_bc)
+    pp_tgt = np.zeros(Pcap, np.int32)
+    pp_qref = np.tile([1.0, 0, 0, 0], (Pcap, 1))
+    pp_pref = np.zeros((Pcap, 3))
+    pp_invd = np.ones(Pcap)
+    pp_zr = np.tile([0.0, 0, 1.0], (Pcap, 1))
+    pp_zt = np.tile([0.0, 0, 1.0], (Pcap, 1))
+    pp_val = np.zeros(Pcap, bool)
+    pi_ = 0
+    for tgt, anchor, track in spec.reproj_prior:
+        if pi_ >= Pcap or tgt.id not in slot:
+            continue
+        kt = track.obs.get(tgt.id)
+        ka = track.obs.get(anchor.id)
+        if kt is None or ka is None or track.inv_depth <= 0:
+            continue
+        pp_tgt[pi_] = slot[tgt.id]
+        pp_qref[pi_] = anchor.q
+        pp_pref[pi_] = anchor.p
+        pp_invd[pi_] = track.inv_depth
+        pp_zr[pi_] = anchor.bearings[ka]
+        pp_zt[pi_] = tgt.bearings[kt]
+        pp_val[pi_] = True
+        pi_ += 1
+    reproj_prior = F.ReprojPriorFactors(
+        tgt=jnp.asarray(pp_tgt), q_ref=jnp.asarray(pp_qref),
+        p_ref=jnp.asarray(pp_pref), inv_depth=jnp.asarray(pp_invd),
+        z_ref=jnp.asarray(pp_zr), z_tgt=jnp.asarray(pp_zt),
+        valid=jnp.asarray(pp_val),
+    )
+
+    # fixed-i imu priors
+    Fp = caps.Fp
+    ip_j = np.zeros(Fp, np.int32)
+    ip_qi = np.tile([1.0, 0, 0, 0], (Fp, 1))
+    ip_pi = np.zeros((Fp, 3))
+    ip_vi = np.zeros((Fp, 3))
+    ip_bgi = np.zeros((Fp, 3))
+    ip_bai = np.zeros((Fp, 3))
+    ip_val = np.zeros(Fp, bool)
+    ip_entries = [e for e in spec.imu_prior if e[1].id in slot][:Fp]
+    ip_imu_list = [e[2] for e in ip_entries] + [
+        (np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)))
+    ] * (Fp - len(ip_entries))
+    for k, (fi_frame, fj_frame, _) in enumerate(ip_entries):
+        ip_j[k] = slot[fj_frame.id]
+        ip_qi[k] = fi_frame.q
+        ip_pi[k] = fi_frame.p
+        ip_vi[k] = fi_frame.v
+        ip_bgi[k] = fi_frame.bg
+        ip_bai[k] = fi_frame.ba
+        ip_val[k] = True
+    ip_deltas, ip_sics = integrate_frames(
+        ip_imu_list, ip_bgi, ip_bai, calib, caps.IMU
+    )
+    ip_sics = jnp.where(
+        jnp.asarray(ip_val)[:, None, None], ip_sics, jnp.eye(15)[None]
+    )
+    imu_prior = F.ImuPriorFactors(
+        j=jnp.asarray(ip_j), q_i=jnp.asarray(ip_qi), p_i=jnp.asarray(ip_pi),
+        v_i=jnp.asarray(ip_vi), bg_i=jnp.asarray(ip_bgi), ba_i=jnp.asarray(ip_bai),
+        delta=ip_deltas, sqrt_inv_cov=ip_sics, valid=jnp.asarray(ip_val),
+    )
+
     # rotation priors
     r_tgt = np.zeros(R, np.int32)
     r_qref = np.tile([1.0, 0, 0, 0], (R, 1))
@@ -325,7 +404,8 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
         prior_valid = jnp.asarray(False)
 
     pb = ba.BAProblem(
-        reproj=reproj, imu=imu, rot=rot, prior=prior, prior_valid=prior_valid,
+        reproj=reproj, reproj_prior=reproj_prior, imu=imu, imu_prior=imu_prior,
+        rot=rot, prior=prior, prior_valid=prior_valid,
         ext=calib.ext, sqrt_inv_cov2=calib.sqrt_inv_cov2,
         opt_pose=jnp.asarray(opt_pose), opt_motion=jnp.asarray(opt_motion),
         opt_lm=jnp.asarray(opt_lm),
@@ -372,10 +452,13 @@ def triangulate_tracks(
     n = len(tracks)
     if n == 0:
         return np.zeros((0, 3)), np.zeros(0, bool)
-    b = np.tile([0.0, 0, 1.0], (n, V, 1))
-    qcw = np.tile([1.0, 0, 0, 0], (n, V, 1))
-    pcw = np.zeros((n, V, 3))
-    m = np.zeros((n, V))
+    # pad the batch to the landmark capacity: a varying batch size would
+    # recompile the jitted triangulation on the per-keyframe hot path
+    n_cap = caps.L if n <= caps.L else n
+    b = np.tile([0.0, 0, 1.0], (n_cap, V, 1))
+    qcw = np.tile([1.0, 0, 0, 0], (n_cap, V, 1))
+    pcw = np.zeros((n_cap, V, 3))
+    m = np.zeros((n_cap, V))
     q_bc = np.asarray(calib.ext.q_bc)
     p_bc = np.asarray(calib.ext.p_bc)
     for ti, t in enumerate(tracks):
@@ -393,7 +476,7 @@ def triangulate_tracks(
     pts, ok = _triangulate_batch(
         jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw), jnp.asarray(m)
     )
-    return np.asarray(pts), np.asarray(ok)
+    return np.asarray(pts)[:n], np.asarray(ok)[:n]
 
 
 # ---------------------------------------------------------------------------

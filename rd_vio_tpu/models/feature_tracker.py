@@ -175,13 +175,15 @@ class FeatureTracker:
                 self.calib, self.caps.IMU,
             )
 
+    KP_CAP = 384  # fixed per-frame tracking capacity (stable jit shapes)
+
     def _track_keypoints(self, last: Frame, frame: Frame):
         cfg = self.config
         Km = self.calib.K
-        n = last.keypoint_num
+        n = min(last.keypoint_num, self.KP_CAP)
         if n == 0:
             return
-        curr_pix = self._pix_from_bearings(last)
+        curr_pix = self._pix_from_bearings(last)[:n]
 
         # IMU-predicted initial flow (reference frame.cpp:82-93)
         pred_pix = curr_pix
@@ -192,7 +194,7 @@ class FeatureTracker:
             dkq = qconj(
                 qmul(qmul(qmul(qmul(qconj(q_bc), q_bi), delta_q), qconj(q_bi)), q_bc)
             )
-            pb = np.stack([qrot(dkq, b) for b in last.bearings])
+            pb = np.stack([qrot(dkq, b) for b in last.bearings[:n]])
             pred_pix = np.stack(
                 [
                     pb[:, 0] / np.maximum(pb[:, 2], 1e-6) * Km[0, 0] + Km[0, 2],
@@ -207,12 +209,14 @@ class FeatureTracker:
         next_bearings = self._bearing_from_pix(np.where(status[:, None], next_pix, curr_pix))
 
         # essential RANSAC mask (reference frame.cpp:108-114; threshold 1.0
-        # in normalized units — matches the reference's permissive gate)
-        cap = max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        # in normalized units — matches the reference's permissive gate).
+        # Fixed capacity: shape changes would trigger recompiles on the
+        # per-frame hot path.
+        cap = self.KP_CAP
         p1 = np.zeros((cap, 2))
         p2 = np.zeros((cap, 2))
         val = np.zeros(cap, bool)
-        p1[:n] = last.bearings[:, :2] / last.bearings[:, 2:]
+        p1[:n] = last.bearings[:n, :2] / last.bearings[:n, 2:]
         p2[:n] = next_bearings[:, :2] / next_bearings[:, 2:]
         val[:n] = status
         res_e = ransac.ransac_essential(
@@ -225,7 +229,7 @@ class FeatureTracker:
         # rotation RANSAC + misalignment percentile (reference frame.cpp:115-131)
         b1 = np.zeros((cap, 3))
         b2 = np.zeros((cap, 3))
-        b1[:n] = last.bearings
+        b1[:n] = last.bearings[:n]
         b2[:n] = next_bearings
         res_r = ransac.ransac_rotation(
             self._next_key(), jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
@@ -237,7 +241,7 @@ class FeatureTracker:
         if rmask.any():
             ang = np.degrees(
                 np.arccos(
-                    np.clip(np.sum((last.bearings[rmask] @ R.T) * next_bearings[rmask], -1), -1, 1)
+                    np.clip(np.sum((last.bearings[:n][rmask] @ R.T) * next_bearings[rmask], -1), -1, 1)
                 )
             )
             misalign = float(np.sort(ang)[len(ang) * 7 // 10])
@@ -255,16 +259,19 @@ class FeatureTracker:
                 lengths[i] = len(t.obs)
                 trash[i] = t.tag(TT_TRASH)
         order = np.argsort(-lengths, kind="stable")
-        cand = np.where(status, next_pix[:, 0], -1)  # placeholder
         W_img, H_img = self.config.camera_resolution
+        # pad to the fixed capacity so the jitted filter compiles once
+        pd_pts = np.zeros((self.KP_CAP, 2))
+        pd_val = np.zeros(self.KP_CAP, bool)
+        pd_pts[:n] = next_pix[order]
+        pd_val[:n] = status[order] & ~trash[order]
         acc = np.asarray(
             poisson_disk.poisson_disk_filter(
-                jnp.asarray(next_pix[order]),
-                jnp.asarray(status[order] & ~trash[order]),
-                min_distance=cfg.feature_tracker_min_keypoint_distance,
+                jnp.asarray(pd_pts), jnp.asarray(pd_val),
+                min_distance=float(cfg.feature_tracker_min_keypoint_distance),
                 width=float(W_img), height=float(H_img),
             )
-        )
+        )[:n]
         keep = np.zeros(n, bool)
         keep[order] = acc
         status = status & keep & ~trash
@@ -305,3 +312,8 @@ class FeatureTracker:
             limit = self.config.feature_tracker_max_frames
         while self.map.frame_num > limit:
             self.map.erase_frame(0)
+        # release pixel buffers of frames that can no longer be tracked from
+        # (reference opencv_image.cpp:200-208 release_image_buffer)
+        for f in self.map.frames[:-2]:
+            if f.image is not None and hasattr(f.image, "release"):
+                f.image.release()

@@ -68,9 +68,16 @@ def _hypothesis_triangulation(Rs, Ts, p1, p2, valid):
 
 class Initializer:
     def __init__(self, config, calib: builders.CalibArrays, caps: builders.Caps):
+        import dataclasses
+
         self.config = config
         self.calib = calib
         self.caps = caps
+        # same small-solve profile as the tracker (shared executables)
+        self.caps_fast = dataclasses.replace(
+            caps, W=config.sliding_window_subframe_size + 6,
+            O=256, L=64, P=768, Fi=12, Fp=2, R=caps.R,
+        )
         self.map: Optional[Map] = None
         self._rng_key = jax.random.PRNGKey(config.random)
         # imu-init scratch
@@ -275,12 +282,12 @@ class Initializer:
             tr.set_tag(TT_VALID, True)
             tr.set_tag(TT_TRIANGULATED, True)
 
-        # [2.2] middle frames via reprojection-prior solves
+        # [2.2] middle frames via reprojection-prior solves (fixed anchors)
         for j in range(1, m.frame_num - 1):
             prev = m.get_frame(j - 1)
             fr = m.get_frame(j)
             fr.q, fr.p = prev.q.copy(), prev.p.copy()
-            reproj = []
+            reproj_prior = []
             for k in range(fr.keypoint_num):
                 t = m.get_track(fr, k)
                 if t is None:
@@ -288,15 +295,18 @@ class Initializer:
                 if fi.id not in t.obs:
                     continue
                 if t.all_tagged(TT_VALID, TT_TRIANGULATED):
-                    reproj.append((fr, fi, t, True))
-            if len(reproj) < 6:
+                    reproj_prior.append((fr, fi, t))
+            if len(reproj_prior) < 6:
                 continue
             spec = builders.BASpec(
-                frames=[fr, fi],
-                fix_pose=[False, True], fix_motion=[True, True],
-                opt_tracks=[], reproj=reproj, imu=[], rot=[],
+                frames=[fr],
+                fix_pose=[False], fix_motion=[True],
+                opt_tracks=[], reproj=[], imu=[], rot=[],
+                reproj_prior=reproj_prior,
             )
-            states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+            states, invd, pb, lm_slot = builders.build_problem(
+                spec, self.calib, self.caps_fast
+            )
             res = ba.solve_ba(states, invd, pb, max_iterations=cfg.solver_iteration_limit)
             builders.apply_result(res, spec, lm_slot)
 
@@ -409,8 +419,14 @@ class Initializer:
 
     def solve_gyro_bias(self):
         """3x3 Gauss-Newton normal equations on preintegrated rotation error
-        (reference initializer.cpp:382-406)."""
-        from rd_vio_tpu.ops import lie
+        (reference initializer.cpp:382-406). Host math (runs every init
+        attempt; avoids eager device dispatches)."""
+        from scipy.spatial.transform import Rotation
+
+        def logmap(q_wxyz):
+            return Rotation.from_quat(
+                np.r_[q_wxyz[1:], q_wxyz[0]]
+            ).as_rotvec()
 
         self._preintegrate()
         m = self.map
@@ -421,7 +437,7 @@ class Initializer:
             qj, _ = self._imu_pose(m.get_frame(j))
             dq = self._deltas.q[j - 1]
             dq_dbg = self._deltas.dq_dbg[j - 1]
-            e = np.asarray(lie.logmap(jnp.asarray(qmul(qconj(qmul(qi, dq)), qj))))
+            e = logmap(qmul(qconj(qmul(qi, dq)), qj))
             A += dq_dbg.T @ dq_dbg
             b += dq_dbg.T @ e
         self.bg = np.linalg.lstsq(A, b, rcond=None)[0]

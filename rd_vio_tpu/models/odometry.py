@@ -25,11 +25,10 @@ class Odometry:
                  caps: Optional[builders.Caps] = None):
         self.config = config
         self.calib = builders.CalibArrays.from_config(config)
-        # worst-case solve: subwindow (1 keyframe + subframes) plus every
-        # window keyframe as a fixed anchor
-        self.caps = caps or builders.Caps(
-            W=config.sliding_window_size + config.sliding_window_subframe_size + 7,
-        )
+        # keyframe-solve capacity: window keyframes + transient lift slots
+        # (fixed anchors no longer occupy state slots — they enter as
+        # constant-data prior factors)
+        self.caps = caps or builders.Caps(W=config.sliding_window_size + 3)
         self.feature_tracker = FeatureTracker(config, self.calib, self.caps, backend)
         self.frontend = Frontend(self.feature_tracker, config, self.calib, self.caps)
         self.feature_tracker.frontend = self.frontend
@@ -37,6 +36,9 @@ class Odometry:
 
     # -- sensor ingestion ------------------------------------------------
     def add_frame(self, t: float, image) -> None:
+        backend = self.feature_tracker.backend
+        if hasattr(backend, "preprocess"):
+            image = backend.preprocess(image)
         self.handler.track_camera(t, image)
 
     def add_motion(self, t: float, gyro, accel) -> None:

@@ -37,10 +37,18 @@ from rd_vio_tpu.ops import parsac
 class SlidingWindowTracker:
     def __init__(self, keyframe_map: Map, config, calib: builders.CalibArrays,
                  caps: builders.Caps, rng_key=None):
+        import dataclasses
+
         self.map = keyframe_map
         self.config = config
         self.calib = calib
         self.caps = caps
+        # small-solve profile: per-frame localization + subwindow refinement
+        # carry no full window, so their state dimension stays tiny
+        self.caps_fast = dataclasses.replace(
+            caps, W=config.sliding_window_subframe_size + 6,
+            O=256, L=64, P=768, Fi=12, Fp=2, R=caps.R,
+        )
         self.feature_tracking_map: Optional[Map] = None
         self.prior: Optional[F.PriorFactor] = None
         self.m_th = 3.0  # adaptive epipolar threshold (px)
@@ -129,9 +137,8 @@ class SlidingWindowTracker:
             frame_i = frame_i.subframes[-1]
         frame_j = m.get_frame(m.frame_num - 1)
 
-        frames = [frame_j, frame_i]
         frames_by_id = {f.id: f for f in m.all_frames()}
-        reproj = []
+        reproj_prior = []
         for k in range(frame_j.keypoint_num):
             t = m.get_track(frame_j, k)
             if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
@@ -139,18 +146,19 @@ class SlidingWindowTracker:
             anchor = frames_by_id.get(t.first_frame_id())
             if anchor is None or anchor.id == frame_j.id:
                 continue
-            if anchor.id not in (f.id for f in frames):
-                frames.append(anchor)
-            reproj.append((frame_j, anchor, t, True))
-        imu = [(frame_i, frame_j, (frame_j.imu_dt, frame_j.imu_w, frame_j.imu_a),
-                frame_i.bg.copy(), frame_i.ba.copy(), False)]
+            reproj_prior.append((frame_j, anchor, t))
+        imu_prior = [
+            (frame_i, frame_j, (frame_j.imu_dt, frame_j.imu_w, frame_j.imu_a))
+        ]
         spec = builders.BASpec(
-            frames=frames,
-            fix_pose=[False] + [True] * (len(frames) - 1),
-            fix_motion=[False] + [True] * (len(frames) - 1),
-            opt_tracks=[], reproj=reproj, imu=imu, rot=[],
+            frames=[frame_j],
+            fix_pose=[False], fix_motion=[False],
+            opt_tracks=[], reproj=[], imu=[], rot=[],
+            reproj_prior=reproj_prior, imu_prior=imu_prior,
         )
-        states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+        states, invd, pb, lm_slot = builders.build_problem(
+            spec, self.calib, self.caps_fast
+        )
         res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
         builders.apply_result(res, spec, lm_slot)
 
@@ -297,36 +305,79 @@ class SlidingWindowTracker:
         self._validate_landmarks()
 
     def _validate_landmarks(self):
+        """Post-solve landmark validation (reference :304-336), vectorized:
+        depth in (1e-3, 50] at every keyframe observation and mean pixel
+        reprojection error < 3 px."""
         m = self.map
         Km = self.calib.K
         frames_by_id = {f.id: f for f in m.all_frames()}
         q_bc = np.asarray(self.calib.ext.q_bc)
         p_bc = np.asarray(self.calib.ext.p_bc)
+
+        # per-frame camera poses (few frames)
+        cam = {}
+        for f in frames_by_id.values():
+            qc, pc = f.get_pose(q_bc, p_bc)
+            cam[f.id] = (q_to_R(qc), pc, f.tag(FT_KEYFRAME))
+
+        tracks = [t for t in m.tracks.values() if t.tag(TT_TRIANGULATED)]
         for t in m.tracks.values():
-            if t.tag(TT_TRIANGULATED):
-                if t.first_frame_id() not in frames_by_id:
-                    continue
-                x = builders.get_landmark_point(t, frames_by_id, self.calib)
-                is_valid = True
-                rpe, cnt = 0.0, 0.0
-                for fid, k in t.obs.items():
-                    f = frames_by_id.get(fid)
-                    if f is None or not f.tag(FT_KEYFRAME):
-                        continue
-                    qc, pc = f.get_pose(q_bc, p_bc)
-                    y = qrot(qconj(qc), x - pc)
-                    if y[2] <= 1.0e-3 or y[2] > 50:
-                        is_valid = False
-                        break
-                    z = f.bearings[k]
-                    pred = np.array([y[0] / y[2] * Km[0, 0], y[1] / y[2] * Km[1, 1]])
-                    obs = np.array([z[0] / z[2] * Km[0, 0], z[1] / z[2] * Km[1, 1]])
-                    rpe += np.linalg.norm(pred - obs)
-                    cnt += 1.0
-                is_valid = is_valid and (rpe / max(cnt, 1.0) < 3.0)
-                t.set_tag(TT_VALID, is_valid)
-            else:
+            if not t.tag(TT_TRIANGULATED):
                 t.inv_depth = -1.0
+
+        # landmark world points (vectorized per track via anchor pose)
+        obs_ti, obs_R, obs_p, obs_z = [], [], [], []
+        tr_x = {}
+        for ti, t in enumerate(tracks):
+            aid = t.first_frame_id()
+            if aid not in frames_by_id or t.inv_depth <= 0:
+                tr_x[ti] = None
+                continue
+            Ra, pa, _ = cam[aid]
+            z0 = frames_by_id[aid].bearings[t.obs[aid]]
+            x = Ra @ (z0 / t.inv_depth) + pa
+            tr_x[ti] = x
+            for fid, k in t.obs.items():
+                f = frames_by_id.get(fid)
+                if f is None or not cam[fid][2]:
+                    continue
+                obs_ti.append(ti)
+                obs_R.append(cam[fid][0])
+                obs_p.append(cam[fid][1])
+                obs_z.append(f.bearings[k])
+
+        n_tracks = len(tracks)
+        if obs_ti:
+            ti_arr = np.asarray(obs_ti)
+            R_arr = np.stack(obs_R)  # (N, 3, 3)
+            p_arr = np.stack(obs_p)
+            z_arr = np.stack(obs_z)
+            x_arr = np.stack([
+                tr_x[ti] if tr_x[ti] is not None else np.zeros(3) for ti in obs_ti
+            ])
+            y = np.einsum("nji,nj->ni", R_arr, x_arr - p_arr)  # R^T (x - p)
+            depth_ok = (y[:, 2] > 1.0e-3) & (y[:, 2] <= 50)
+            ys = y[:, :2] / np.maximum(y[:, 2:], 1e-12)
+            zs = z_arr[:, :2] / z_arr[:, 2:]
+            rpe = np.linalg.norm(
+                (ys - zs) * [Km[0, 0], Km[1, 1]], axis=-1
+            )
+            sum_rpe = np.zeros(n_tracks)
+            cnt = np.zeros(n_tracks)
+            bad_depth = np.zeros(n_tracks, bool)
+            np.add.at(sum_rpe, ti_arr, rpe)
+            np.add.at(cnt, ti_arr, 1.0)
+            np.logical_or.at(bad_depth, ti_arr, ~depth_ok)
+            mean_rpe = sum_rpe / np.maximum(cnt, 1.0)
+            for ti, t in enumerate(tracks):
+                if tr_x[ti] is None:
+                    t.set_tag(TT_VALID, False)
+                else:
+                    t.set_tag(TT_VALID, (not bad_depth[ti]) and mean_rpe[ti] < 3.0)
+        else:
+            for t in tracks:
+                t.set_tag(TT_VALID, False)
+
         for t in m.tracks.values():
             if not t.tag(TT_VALID):
                 t.set_tag(TT_TRASH, True)
@@ -434,16 +485,18 @@ class SlidingWindowTracker:
                 frame.subframes = keep
 
             subs = frame.subframes
-            frames = [frame] + subs
+            # only subframes occupy state slots; the parent keyframe enters as
+            # the fixed-i imu prior and as fixed anchors
             imu = []
-            for i, sub in enumerate(subs):
-                prev = frame if i == 0 else subs[i - 1]
+            imu_prior = [(frame, subs[0], (subs[0].imu_dt, subs[0].imu_w, subs[0].imu_a))]
+            for i in range(1, len(subs)):
+                prev = subs[i - 1]
+                sub = subs[i]
                 imu.append((prev, sub, (sub.imu_dt, sub.imu_w, sub.imu_a),
                             prev.bg.copy(), prev.ba.copy(), False))
             last = subs[-1]
-            reproj = []
+            reproj_prior = []
             rot = []
-            extra = []
             for k in range(last.keypoint_num):
                 t = m.get_track(last, k)
                 if t is None or not t.tag(TT_VALID):
@@ -453,34 +506,36 @@ class SlidingWindowTracker:
                     continue
                 if t.tag(TT_TRIANGULATED):
                     if t.tag(TT_STATIC):
-                        if anchor not in frames and anchor not in extra:
-                            extra.append(anchor)
-                        reproj.append((last, anchor, t, True))
+                        reproj_prior.append((last, anchor, t))
                 else:
                     rot.append((last, anchor, t))
-            all_frames = frames + extra
             spec = builders.BASpec(
-                frames=all_frames,
-                fix_pose=[True] + [False] * len(subs) + [True] * len(extra),
-                fix_motion=[True] + [False] * len(subs) + [True] * len(extra),
-                opt_tracks=[], reproj=reproj, imu=imu, rot=rot,
+                frames=list(subs),
+                fix_pose=[False] * len(subs),
+                fix_motion=[False] * len(subs),
+                opt_tracks=[], reproj=[], imu=imu, rot=rot,
+                reproj_prior=reproj_prior, imu_prior=imu_prior,
             )
-            states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+            states, invd, pb, lm_slot = builders.build_problem(
+                spec, self.calib, self.caps_fast
+            )
             res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
             builders.apply_result(res, spec, lm_slot)
         else:
             # --- translating chain ---
             subs = frame.subframes
-            frames = [frame] + subs
-            sub_ids = {f.id for f in frames}
+            sub_ids = {f.id for f in subs}
             imu = []
-            reproj = []
-            extra = []
-            opt_tracks = []
-            for i, sub in enumerate(subs):
-                prev = frame if i == 0 else subs[i - 1]
+            imu_prior = [(frame, subs[0], (subs[0].imu_dt, subs[0].imu_w, subs[0].imu_a))]
+            for i in range(1, len(subs)):
+                prev = subs[i - 1]
+                sub = subs[i]
                 imu.append((prev, sub, (sub.imu_dt, sub.imu_w, sub.imu_a),
                             prev.bg.copy(), prev.ba.copy(), False))
+            reproj = []
+            reproj_prior = []
+            opt_tracks = []
+            for sub in subs:
                 for k in range(sub.keypoint_num):
                     t = m.get_track(sub, k)
                     if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
@@ -489,23 +544,23 @@ class SlidingWindowTracker:
                     if anchor is None or anchor.id == sub.id:
                         continue
                     if anchor.tag(FT_KEYFRAME):
-                        if anchor not in frames and anchor not in extra:
-                            extra.append(anchor)
-                        reproj.append((sub, anchor, t, True))
+                        reproj_prior.append((sub, anchor, t))
                     elif t.first_frame_id() > frame.id and anchor.id in sub_ids:
                         # both target and anchor live in the subwindow: full
                         # factor with optimized depth (reference :434-438)
                         if t not in opt_tracks:
                             opt_tracks.append(t)
                         reproj.append((sub, anchor, t, False))
-            all_frames = frames + extra
             spec = builders.BASpec(
-                frames=all_frames,
-                fix_pose=[True] + [False] * len(subs) + [True] * len(extra),
-                fix_motion=[True] + [False] * len(subs) + [True] * len(extra),
+                frames=list(subs),
+                fix_pose=[False] * len(subs),
+                fix_motion=[False] * len(subs),
                 opt_tracks=opt_tracks, reproj=reproj, imu=imu, rot=[],
+                reproj_prior=reproj_prior, imu_prior=imu_prior,
             )
-            states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
+            states, invd, pb, lm_slot = builders.build_problem(
+                spec, self.calib, self.caps_fast
+            )
             res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
             builders.apply_result(res, spec, lm_slot)
 

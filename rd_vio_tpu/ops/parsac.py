@@ -19,6 +19,7 @@ intended bin-weighted semantics instead.)
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -188,6 +189,7 @@ def _run_parsac(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def parsac_essential(
     key, p1, p2, valid, bin_conf_prior, threshold: float,
     norm_scale: float = 1.0, num_hypotheses: int = 256,
@@ -210,6 +212,7 @@ def parsac_essential(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def parsac_pnp(
     key, x_world, p_norm, valid, bin_conf_prior, threshold: float,
     norm_scale: float = 1.0, num_hypotheses: int = 256,
@@ -233,6 +236,7 @@ def parsac_pnp(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def imu_parsac_pnp(
     key, x_world, p_norm, valid, lens, prior_R, prior_t, bin_conf_prior,
     threshold: float, dynamic_prob: float, norm_scale: float = 1.0,

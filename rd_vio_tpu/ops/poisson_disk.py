@@ -15,12 +15,14 @@ by priority (detection response / track length) first.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("min_distance", "width", "height", "preset_count"))
 def poisson_disk_filter(
     points, valid, min_distance: float, width: float, height: float, preset_count: int = 0
 ):

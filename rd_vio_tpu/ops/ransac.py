@@ -20,6 +20,7 @@ essential (5 -> 8).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -71,6 +72,7 @@ def _best_by_count(models, errors, threshold, valid):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def ransac_essential(key, p1, p2, valid, threshold: float, num_hypotheses: int = 256):
     """find_essential_matrix (reference stereo.cpp:38-66): symmetric epipolar
     error with inlier bound 2*t1*threshold^2; threshold in normalized units."""
@@ -83,6 +85,7 @@ def ransac_essential(key, p1, p2, valid, threshold: float, num_hypotheses: int =
     return _best_by_count(E, err, 2.0 * CHI2_1DOF * threshold**2, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def ransac_rotation(key, b1, b2, valid, threshold: float, num_hypotheses: int = 256):
     """find_rotation_matrix (reference stereo.cpp:68-92): angular error
     acos((R b1).b2) with bound t2*threshold^2 (threshold in radians)."""
@@ -92,6 +95,7 @@ def ransac_rotation(key, b1, b2, valid, threshold: float, num_hypotheses: int = 
     return _best_by_count(R, err, CHI2_2DOF * threshold**2, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def ransac_homography(key, p1, p2, valid, threshold: float, num_hypotheses: int = 256):
     """find_homography_matrix (reference stereo.cpp:94-117): symmetric transfer
     error with bound 2*t2*threshold^2."""
@@ -104,6 +108,7 @@ def ransac_homography(key, p1, p2, valid, threshold: float, num_hypotheses: int 
     return _best_by_count(H, err, 2.0 * CHI2_2DOF * threshold**2, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def ransac_pnp(key, x_world, p_norm, valid, threshold: float, num_hypotheses: int = 256):
     """find_pnp_matrix (reference pnp.h:96-131): reprojection error on the
     normalized plane with bound 2*t2*threshold^2. Returns model (R|t) as (3,4)."""

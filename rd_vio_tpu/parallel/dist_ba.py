@@ -143,7 +143,13 @@ def shard_problem(mesh: Mesh, invd, pb: ba.BAProblem):
     pb = pb._replace(
         reproj=reproj,
         opt_lm=jax.device_put(pb.opt_lm, shard_O),
+        reproj_prior=jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, repl), pb.reproj_prior
+        ),
         imu=jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), pb.imu),
+        imu_prior=jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, repl), pb.imu_prior
+        ),
         rot=jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), pb.rot),
         prior=jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), pb.prior),
     )
@@ -192,7 +198,9 @@ def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
     )
     pb_spec = ba.BAProblem(
         reproj=reproj_spec,
+        reproj_prior=jax.tree_util.tree_map(lambda _: P(), pb.reproj_prior),
         imu=jax.tree_util.tree_map(lambda _: P(), pb.imu),
+        imu_prior=jax.tree_util.tree_map(lambda _: P(), pb.imu_prior),
         rot=jax.tree_util.tree_map(lambda _: P(), pb.rot),
         prior=jax.tree_util.tree_map(lambda _: P(), pb.prior),
         prior_valid=P(), ext=jax.tree_util.tree_map(lambda _: P(), pb.ext),

@@ -25,7 +25,7 @@ def _run_pipeline(duration=8.0, parsac=False, n_dynamic=0, seed=648):
     cfg.parsac_dynamic_probability = 0.15 if parsac else 0.0
     cfg.parsac_threshold = 1.0
     cfg.ransac_hypotheses = 128
-    caps = builders.Caps(W=22, L=256, O=1536, Fi=20, R=128, IMU=64, IMU_KF=384)
+    caps = builders.Caps(W=13, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
     odo = Odometry(cfg, SyntheticBackend(seq), caps=caps)
 
     events = []
