@@ -15,6 +15,8 @@ import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+from rd_vio_tpu.utils.host import asnp, fetch
 import jax
 import jax.numpy as jnp
 
@@ -58,7 +60,7 @@ class CalibArrays:
 
     @staticmethod
     def from_config(cfg):
-        Km = np.asarray(cfg.camera_intrinsic)
+        Km = asnp(cfg.camera_intrinsic)
         # K-scaled pixel whitening (reference handler.cpp:117-119)
         sic2 = np.diag(
             [
@@ -134,7 +136,7 @@ def integrate_frames(
 def integrate_single(frame: Frame, bg0, ba0, calib: CalibArrays, cap: int):
     delta, sic = integrate_frames(
         [(frame.imu_dt, frame.imu_w, frame.imu_a)],
-        np.asarray(bg0)[None], np.asarray(ba0)[None], calib, cap,
+        asnp(bg0)[None], asnp(ba0)[None], calib, cap,
     )
     return jax.tree_util.tree_map(lambda a: a[0], delta), sic[0]
 
@@ -145,10 +147,8 @@ def predict_frame(frame_prev: Frame, frame: Frame, calib: CalibArrays, cap: int)
     propagation runs host-side (tiny math; avoids eager device ops on the
     per-frame hot path)."""
     delta, sic = integrate_single(frame, frame_prev.bg, frame_prev.ba, calib, cap)
-    dt = float(delta.t)
-    dq = np.asarray(delta.q)
-    dp = np.asarray(delta.p)
-    dv = np.asarray(delta.v)
+    dt_a, dq, dp, dv = fetch((delta.t, delta.q, delta.p, delta.v))
+    dt = float(dt_a)
     g = np.array([0.0, 0.0, -9.80665])
     frame.v = frame_prev.v + g * dt + qrot(frame_prev.q, dv)
     frame.p = (
@@ -306,8 +306,8 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
 
     # fixed-anchor reprojection priors
     Pcap = caps.P
-    q_bc_h = np.asarray(calib.ext.q_bc)
-    p_bc_h = np.asarray(calib.ext.p_bc)
+    q_bc_h = asnp(calib.ext.q_bc)
+    p_bc_h = asnp(calib.ext.p_bc)
     pp_tgt = np.zeros(Pcap, np.int32)
     pp_qref = np.tile([1.0, 0, 0, 0], (Pcap, 1))
     pp_pref = np.zeros((Pcap, 3))
@@ -414,17 +414,17 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
 
 
 def apply_result(res: ba.BAResult, spec: BASpec, lm_slot: Dict[int, int]):
-    q = np.asarray(res.states.q)
-    p = np.asarray(res.states.p)
-    v = np.asarray(res.states.v)
-    bg = np.asarray(res.states.bg)
-    ba_ = np.asarray(res.states.ba)
+    # one batched device->host transfer for the whole result
+    q, p, v, bg, ba_, invd_dev = fetch(
+        (res.states.q, res.states.p, res.states.v, res.states.bg,
+         res.states.ba, res.inv_depth)
+    )
     for i, f in enumerate(spec.frames):
         if not spec.fix_pose[i]:
             f.q, f.p = q[i], p[i]
         if not spec.fix_motion[i]:
             f.v, f.bg, f.ba = v[i], bg[i], ba_[i]
-    invd = np.asarray(res.inv_depth)
+    invd = invd_dev
     by_id = {t.id: t for t in spec.opt_tracks}
     for tid, s in lm_slot.items():
         t = by_id.get(tid)
@@ -459,8 +459,8 @@ def triangulate_tracks(
     qcw = np.tile([1.0, 0, 0, 0], (n_cap, V, 1))
     pcw = np.zeros((n_cap, V, 3))
     m = np.zeros((n_cap, V))
-    q_bc = np.asarray(calib.ext.q_bc)
-    p_bc = np.asarray(calib.ext.p_bc)
+    q_bc = asnp(calib.ext.q_bc)
+    p_bc = asnp(calib.ext.p_bc)
     for ti, t in enumerate(tracks):
         vi = 0
         for fid, k in t.obs.items():
@@ -473,10 +473,10 @@ def triangulate_tracks(
             b[ti, vi] = f.bearings[k]
             m[ti, vi] = 1.0
             vi += 1
-    pts, ok = _triangulate_batch(
+    pts, ok = fetch(_triangulate_batch(
         jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw), jnp.asarray(m)
-    )
-    return np.asarray(pts)[:n], np.asarray(ok)[:n]
+    ))
+    return pts[:n], ok[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +487,7 @@ def triangulate_tracks(
 def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
     fid = track.first_frame_id()
     f = frames_by_id[fid]
-    qc, pc = f.get_pose(np.asarray(calib.ext.q_bc), np.asarray(calib.ext.p_bc))
+    qc, pc = f.get_pose(asnp(calib.ext.q_bc), asnp(calib.ext.p_bc))
     z = f.bearings[track.obs[fid]]
     return qrot(qc, z / track.inv_depth) + pc
 
@@ -495,6 +495,6 @@ def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
 def set_landmark_point(track: Track, x_world, frames_by_id, calib: CalibArrays):
     fid = track.first_frame_id()
     f = frames_by_id[fid]
-    qc, pc = f.get_pose(np.asarray(calib.ext.q_bc), np.asarray(calib.ext.p_bc))
-    d = np.linalg.norm(qrot(qconj(qc), np.asarray(x_world) - pc))
+    qc, pc = f.get_pose(asnp(calib.ext.q_bc), asnp(calib.ext.p_bc))
+    d = np.linalg.norm(qrot(qconj(qc), asnp(x_world) - pc))
     track.inv_depth = 1.0 / max(d, 1e-9)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from typing import Optional, Protocol, Tuple
 
 import numpy as np
+
+from rd_vio_tpu.utils.host import asnp, fetch
 import jax
 import jax.numpy as jnp
 
@@ -189,8 +191,8 @@ class FeatureTracker:
         pred_pix = curr_pix
         delta_q = self._interval_rotation(frame)
         if cfg.feature_tracker_predict_keypoints and delta_q is not None:
-            q_bc = np.asarray(self.calib.ext.q_bc)
-            q_bi = np.asarray(self.calib.ext.q_bi)
+            q_bc = asnp(self.calib.ext.q_bc)
+            q_bi = asnp(self.calib.ext.q_bi)
             dkq = qconj(
                 qmul(qmul(qmul(qmul(qconj(q_bc), q_bi), delta_q), qconj(q_bi)), q_bc)
             )
@@ -223,10 +225,8 @@ class FeatureTracker:
             self._next_key(), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(val),
             threshold=1.0, num_hypotheses=cfg.ransac_hypotheses,
         )
-        mask = np.asarray(res_e.inlier_mask)[:n]
-        status = status & mask
-
-        # rotation RANSAC + misalignment percentile (reference frame.cpp:115-131)
+        # rotation RANSAC + misalignment percentile (reference frame.cpp:115-131);
+        # launched before fetching so both results come back in ONE transfer
         b1 = np.zeros((cap, 3))
         b2 = np.zeros((cap, 3))
         b1[:n] = last.bearings[:n]
@@ -236,8 +236,10 @@ class FeatureTracker:
             threshold=np.radians(cfg.rotation_ransac_threshold),
             num_hypotheses=cfg.ransac_hypotheses,
         )
-        rmask = np.asarray(res_r.inlier_mask)[:n]
-        R = np.asarray(res_r.model)
+        mask, rmask, R = fetch((res_e.inlier_mask, res_r.inlier_mask, res_r.model))
+        mask = mask[:n]
+        rmask = rmask[:n]
+        status = status & mask
         if rmask.any():
             ang = np.degrees(
                 np.arccos(
@@ -265,7 +267,7 @@ class FeatureTracker:
         pd_val = np.zeros(self.KP_CAP, bool)
         pd_pts[:n] = next_pix[order]
         pd_val[:n] = status[order] & ~trash[order]
-        acc = np.asarray(
+        acc = asnp(
             poisson_disk.poisson_disk_filter(
                 jnp.asarray(pd_pts), jnp.asarray(pd_val),
                 min_distance=float(cfg.feature_tracker_min_keypoint_distance),
@@ -303,7 +305,7 @@ class FeatureTracker:
         )
         if len(new_pix) == 0:
             return
-        for b in self._bearing_from_pix(np.asarray(new_pix)):
+        for b in self._bearing_from_pix(asnp(new_pix)):
             frame.append_keypoint(b)
 
     def _trim_map(self):

@@ -14,6 +14,8 @@ from typing import Optional
 
 import numpy as np
 
+from rd_vio_tpu.utils.host import asnp, fetch
+
 from rd_vio_tpu.models import builders
 from rd_vio_tpu.models.map import Frame
 from rd_vio_tpu.models.quat_np import qmul, qnorm, qrot
@@ -56,16 +58,16 @@ class Handler:
 
     def track_motion(self, t: float, w, a) -> None:
         """Fused gyro+accel sample (reference Odometry::addMotion path)."""
-        self._track_imu(t, np.asarray(w, float), np.asarray(a, float))
+        self._track_imu(t, asnp(w, float), asnp(a, float))
 
     def track_gyroscope(self, t: float, w) -> None:
         """Interpolate gyro to pending accel timestamps
         (reference handler.cpp:56-80)."""
-        self.gyros.append((t, np.asarray(w, float)))
+        self.gyros.append((t, asnp(w, float)))
         self._interleave()
 
     def track_accelerometer(self, t: float, a) -> None:
-        self.accels.append((t, np.asarray(a, float)))
+        self.accels.append((t, asnp(a, float)))
         self._interleave()
 
     def _interleave(self):

@@ -17,6 +17,8 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+
+from rd_vio_tpu.utils.host import asnp, fetch
 import jax
 import jax.numpy as jnp
 
@@ -249,8 +251,8 @@ class Initializer:
         pts, good, counts, scores = _hypothesis_triangulation(
             Rs, Ts, jnp.asarray(p1p), jnp.asarray(p2p), jnp.asarray(valid)
         )
-        counts = np.asarray(counts)
-        scores = np.asarray(scores)
+        counts = asnp(counts)
+        scores = asnp(scores)
         # best: prefer count above min_triangulation with lowest score
         # (reference initializer.cpp:249-256)
         best = 0
@@ -262,14 +264,14 @@ class Initializer:
         if counts[best] < cfg.initializer_min_triangulation:
             return False
 
-        R = np.asarray(Rs[best])
-        T = np.asarray(Ts[best])
-        points = np.asarray(pts[best])
-        status = np.asarray(good[best])
+        R = asnp(Rs[best])
+        T = asnp(Ts[best])
+        points = asnp(pts[best])
+        status = asnp(good[best])
 
         # [2.1] endpoint camera poses: cam_i at identity, cam_j = inv(R, T)
-        q_bc = np.asarray(self.calib.ext.q_bc)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        q_bc = asnp(self.calib.ext.q_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         fi.set_pose(q_bc, p_bc, np.array([1.0, 0, 0, 0]), np.zeros(3))
         fj.set_pose(q_bc, p_bc, R_to_q(R.T), -(R.T @ T))
 
@@ -353,8 +355,8 @@ class Initializer:
         m = self.map
         Km = self.calib.K
         frames_by_id = {f.id: f for f in m.all_frames()}
-        q_bc = np.asarray(self.calib.ext.q_bc)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        q_bc = asnp(self.calib.ext.q_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         for t in m.tracks.values():
             if not t.all_tagged(TT_VALID, TT_TRIANGULATED):
                 continue
@@ -408,13 +410,13 @@ class Initializer:
         self._deltas = jax.tree_util.tree_map(np.asarray, deltas)
 
     def _imu_pose(self, f: Frame):
-        q_bi = np.asarray(self.calib.ext.q_bi)
-        p_bi = np.asarray(self.calib.ext.p_bi)
+        q_bi = asnp(self.calib.ext.q_bi)
+        p_bi = asnp(self.calib.ext.p_bi)
         return f.get_pose(q_bi, p_bi)
 
     def _cam_pose(self, f: Frame):
-        q_bc = np.asarray(self.calib.ext.q_bc)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        q_bc = asnp(self.calib.ext.q_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         return f.get_pose(q_bc, p_bc)
 
     def solve_gyro_bias(self):
@@ -449,7 +451,7 @@ class Initializer:
         N = m.frame_num
         A = np.zeros(((N - 1) * 6, 3 + 1 + 3 * N))
         b = np.zeros((N - 1) * 6)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         for j in range(1, N):
             i = j - 1
             fi, fj = m.get_frame(i), m.get_frame(j)
@@ -483,11 +485,11 @@ class Initializer:
         N = m.frame_num
         A = np.zeros(((N - 1) * 6, 2 + 1 + 3 * N))
         b = np.zeros((N - 1) * 6)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         for _ in range(1):
             A[:] = 0
             b[:] = 0
-            Tg = np.asarray(s2_tangential_basis(jnp.asarray(self.gravity / np.linalg.norm(self.gravity))))
+            Tg = asnp(s2_tangential_basis(jnp.asarray(self.gravity / np.linalg.norm(self.gravity))))
             for j in range(1, N):
                 i = j - 1
                 fi, fj = m.get_frame(i), m.get_frame(j)
@@ -520,8 +522,8 @@ class Initializer:
         m = self.map
         gravity_nominal = np.array([0.0, 0.0, -GRAVITY_NOMINAL])
         q = q_from_two_vectors(self.gravity, gravity_nominal)
-        q_bi = np.asarray(self.calib.ext.q_bi)
-        p_bi = np.asarray(self.calib.ext.p_bi)
+        q_bi = asnp(self.calib.ext.q_bi)
+        p_bi = asnp(self.calib.ext.p_bi)
         for i, f in enumerate(m.frames):
             qi, pi = f.get_pose(q_bi, p_bi)
             qi = qmul(q, qi)

@@ -12,6 +12,8 @@ from typing import Optional
 
 import numpy as np
 
+from rd_vio_tpu.utils.host import asnp, fetch
+
 from rd_vio_tpu.config import Config
 from rd_vio_tpu.models import builders
 from rd_vio_tpu.models.feature_tracker import FeatureTracker, ImageBackend
@@ -64,8 +66,8 @@ class Odometry:
             _, q, p, *_ = ls
         else:
             q, p = st
-        q_bo = np.asarray(self.config.output_to_body_rotation)
-        p_bo = np.asarray(self.config.output_to_body_translation)
+        q_bo = asnp(self.config.output_to_body_rotation)
+        p_bo = asnp(self.config.output_to_body_translation)
         return qmul(q, q_bo), p + qrot(q, p_bo)
 
     def state(self) -> int:

@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+
+from rd_vio_tpu.utils.host import asnp, fetch
 import jax
 import jax.numpy as jnp
 
@@ -311,8 +313,8 @@ class SlidingWindowTracker:
         m = self.map
         Km = self.calib.K
         frames_by_id = {f.id: f for f in m.all_frames()}
-        q_bc = np.asarray(self.calib.ext.q_bc)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        q_bc = asnp(self.calib.ext.q_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
 
         # per-frame camera poses (few frames)
         cam = {}
@@ -348,7 +350,7 @@ class SlidingWindowTracker:
 
         n_tracks = len(tracks)
         if obs_ti:
-            ti_arr = np.asarray(obs_ti)
+            ti_arr = asnp(obs_ti)
             R_arr = np.stack(obs_R)  # (N, 3, 3)
             p_arr = np.stack(obs_p)
             z_arr = np.stack(obs_z)
@@ -570,8 +572,8 @@ class SlidingWindowTracker:
     def _predict_RT(self, frame_i: Frame, frame_j: Frame):
         """Relative camera transform from current (IMU-predicted) poses
         (reference predict_RT :529-555)."""
-        q_bc = np.asarray(self.calib.ext.q_bc)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        q_bc = asnp(self.calib.ext.q_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         qi, pi = frame_i.get_pose(q_bc, p_bc)
         qj, pj = frame_j.get_pose(q_bc, p_bc)
         # P = inv(cam_j) * cam_i
@@ -617,8 +619,8 @@ class SlidingWindowTracker:
         if n < 20:
             return False
 
-        q_bc = np.asarray(self.calib.ext.q_bc)
-        p_bc = np.asarray(self.calib.ext.p_bc)
+        q_bc = asnp(self.calib.ext.q_bc)
+        p_bc = asnp(self.calib.ext.p_bc)
         qc, pc = curr.get_pose(q_bc, p_bc)
         Rcw = q_to_R(qconj(qc))
         tcw = -qrot(qconj(qc), pc)
@@ -634,7 +636,7 @@ class SlidingWindowTracker:
             num_hypotheses=cfg.ransac_hypotheses,
         )
         self.bin_conf_imu = res.bin_confidences
-        mask = np.asarray(res.inlier_mask)
+        mask = asnp(res.inlier_mask)
 
         # epipolar-distance separation between inliers/outliers (reference
         # :643-700) using the IMU-predicted relative pose
@@ -711,8 +713,8 @@ class SlidingWindowTracker:
             p2 = np.zeros((Ncap, 2))
             val = np.zeros(Ncap, bool)
             nn = min(len(pts1), Ncap)
-            p1[:nn] = np.asarray(pts1)[:nn]
-            p2[:nn] = np.asarray(pts2)[:nn]
+            p1[:nn] = asnp(pts1)[:nn]
+            p2[:nn] = asnp(pts2)[:nn]
             val[:nn] = True
             res = parsac.parsac_essential(
                 self._next_key(), jnp.asarray(p1), jnp.asarray(p2),
@@ -722,7 +724,7 @@ class SlidingWindowTracker:
                 num_hypotheses=cfg.ransac_hypotheses,
             )
             self.bin_conf_2d2d = res.bin_confidences
-            mask = np.asarray(res.inlier_mask)
+            mask = asnp(res.inlier_mask)
             for j in range(nn):
                 matches_cnts[kp_idx[j]] += 1
                 if not mask[j]:
@@ -758,7 +760,7 @@ class SlidingWindowTracker:
             if t.all_tagged(TT_VALID, TT_TRIANGULATED) and t.inv_depth > 0:
                 if t.first_frame_id() in frames_by_id:
                     pts.append(builders.get_landmark_point(t, frames_by_id, self.calib))
-        return np.asarray(pts) if pts else np.zeros((0, 3))
+        return asnp(pts) if pts else np.zeros((0, 3))
 
 
 def _hat(v):
