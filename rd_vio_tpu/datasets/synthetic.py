@@ -99,6 +99,7 @@ def generate(
     seed: int = 648,
     n_dynamic: int = 0,
     dynamic_velocity: float = 0.5,
+    dynamic_mode: str = "random",  # "random" per-point | "rigid" shared motion
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
     phase = 0.0
@@ -144,8 +145,19 @@ def generate(
     kp_id = np.full((Nf, max_keypoints), -1, dtype=np.int64)
     fx, fy, cx, cy = K_mat[0, 0], K_mat[1, 1], K_mat[0, 2], K_mat[1, 2]
 
-    dyn_ids = rng.choice(n_landmarks, size=n_dynamic, replace=False) if n_dynamic else np.array([], int)
-    dyn_vel = dynamic_velocity * rng.standard_normal((n_dynamic, 3))
+    if n_dynamic and dynamic_mode == "rigid":
+        # a rigid cluster (e.g. a vehicle): spatially adjacent landmarks share
+        # one velocity — tracks stay coherent and triangulable, the scenario
+        # IMU-PARSAC is built for
+        order = np.argsort(ang)
+        dyn_ids = order[:n_dynamic]
+        v_dir = rng.standard_normal(3)
+        v_dir[2] *= 0.2
+        v_dir /= np.linalg.norm(v_dir)
+        dyn_vel = np.tile(dynamic_velocity * v_dir, (n_dynamic, 1))
+    else:
+        dyn_ids = rng.choice(n_landmarks, size=n_dynamic, replace=False) if n_dynamic else np.array([], int)
+        dyn_vel = dynamic_velocity * rng.standard_normal((n_dynamic, 3))
 
     for f in range(Nf):
         lm_f = lm.copy()

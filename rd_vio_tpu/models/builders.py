@@ -162,6 +162,54 @@ def predict_frame(frame_prev: Frame, frame: Frame, calib: CalibArrays, cap: int)
     return delta, sic
 
 
+@jax.jit
+def _propagate_chain_scan(dts, ws, accs, q0, p0, v0, bg, ba_, cov_w, cov_a, cov_bg, cov_ba):
+    """Sequential gravity-aware propagation over a padded chain of intervals.
+    dts/ws/accs: (F, cap[, 3]). Returns per-frame (q, p, v)."""
+
+    def step(carry, interval):
+        q, p, v = carry
+        dt_i, w_i, a_i = interval
+        d = pre.integrate(dt_i, w_i, a_i, bg, ba_, cov_w, cov_a, cov_bg, cov_ba)
+        q2, p2, v2, _, _ = pre.predict(d, q, p, v, bg, ba_)
+        return (q2, p2, v2), (q2, p2, v2)
+
+    _, out = jax.lax.scan(step, (q0, p0, v0), (dts, ws, accs))
+    return out
+
+
+CHAIN_CAP = 8
+
+
+def propagate_chain(frames: List[Frame], start: Frame, calib: CalibArrays, cap: int):
+    """Re-propagate `frames` (in order) from `start`'s state — ONE device
+    round trip for the whole chain (reference feature_tracker.cpp:36-69
+    re-anchoring loop)."""
+    from rd_vio_tpu.utils.host import fetch as _fetch
+
+    i0 = 0
+    prev = start
+    while i0 < len(frames):
+        block = frames[i0 : i0 + CHAIN_CAP]
+        Fb = CHAIN_CAP
+        dts = np.zeros((Fb, cap))
+        ws = np.zeros((Fb, cap, 3))
+        accs = np.zeros((Fb, cap, 3))
+        for k, f in enumerate(block):
+            dts[k], ws[k], accs[k] = pad_imu((f.imu_dt, f.imu_w, f.imu_a), cap)
+        q, p, v = _fetch(_propagate_chain_scan(
+            jnp.asarray(dts), jnp.asarray(ws), jnp.asarray(accs),
+            jnp.asarray(prev.q), jnp.asarray(prev.p), jnp.asarray(prev.v),
+            jnp.asarray(prev.bg), jnp.asarray(prev.ba),
+            calib.cov_w, calib.cov_a, calib.cov_bg, calib.cov_ba,
+        ))
+        for k, f in enumerate(block):
+            f.q, f.p, f.v = q[k], p[k], v[k]
+            f.bg, f.ba = prev.bg.copy(), prev.ba.copy()
+        prev = block[-1]
+        i0 += CHAIN_CAP
+
+
 # ---------------------------------------------------------------------------
 # BA problem assembly
 # ---------------------------------------------------------------------------

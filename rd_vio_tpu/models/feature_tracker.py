@@ -135,9 +135,9 @@ class FeatureTracker:
 
         if self.map.frame_num > 0:
             last = self.map.get_frame(self.map.frame_num - 1)
+            # fused device program: preintegrate+predict, RANSAC masks,
+            # pure-rotation detector, Poisson re-filter — one call, one fetch
             self._track_keypoints(last, frame)
-            # predict current state from last frame (publishes latest_state)
-            builders.predict_frame(last, frame, self.calib, self.caps.IMU)
             self.latest_state = (frame.t, frame.q.copy(), frame.p.copy(),
                                  frame.v.copy(), frame.bg.copy(), frame.ba.copy())
 
@@ -171,11 +171,9 @@ class FeatureTracker:
             return
         f = self.map.get_frame(idx)
         f.q, f.p, f.v, f.bg, f.ba = q.copy(), p.copy(), v.copy(), bg.copy(), ba_.copy()
-        for i in range(idx + 1, self.map.frame_num):
-            builders.predict_frame(
-                self.map.get_frame(i - 1), self.map.get_frame(i),
-                self.calib, self.caps.IMU,
-            )
+        chain = [self.map.get_frame(i) for i in range(idx + 1, self.map.frame_num)]
+        if chain:
+            builders.propagate_chain(chain, f, self.calib, self.caps.IMU)
 
     KP_CAP = 384  # fixed per-frame tracking capacity (stable jit shapes)
 
@@ -184,6 +182,8 @@ class FeatureTracker:
         Km = self.calib.K
         n = min(last.keypoint_num, self.KP_CAP)
         if n == 0:
+            # still need the IMU state prediction
+            builders.predict_frame(last, frame, self.calib, self.caps.IMU)
             return
         curr_pix = self._pix_from_bearings(last)[:n]
 
@@ -205,81 +205,66 @@ class FeatureTracker:
                 axis=-1,
             )
 
-        next_pix, status = self.backend.track(
+        next_pix_raw, status = self.backend.track(
             last.image, frame.image, curr_pix, pred_pix
         )
-        next_bearings = self._bearing_from_pix(np.where(status[:, None], next_pix, curr_pix))
+        next_bearings = self._bearing_from_pix(
+            np.where(status[:, None], next_pix_raw, curr_pix)
+        )
 
-        # essential RANSAC mask (reference frame.cpp:108-114; threshold 1.0
-        # in normalized units — matches the reference's permissive gate).
-        # Fixed capacity: shape changes would trigger recompiles on the
-        # per-frame hot path.
+        # host-side priority bookkeeping for the Poisson re-filter
         cap = self.KP_CAP
-        p1 = np.zeros((cap, 2))
-        p2 = np.zeros((cap, 2))
-        val = np.zeros(cap, bool)
-        p1[:n] = last.bearings[:n, :2] / last.bearings[:n, 2:]
-        p2[:n] = next_bearings[:, :2] / next_bearings[:, 2:]
-        val[:n] = status
-        res_e = ransac.ransac_essential(
-            self._next_key(), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(val),
-            threshold=1.0, num_hypotheses=cfg.ransac_hypotheses,
-        )
-        # rotation RANSAC + misalignment percentile (reference frame.cpp:115-131);
-        # launched before fetching so both results come back in ONE transfer
-        b1 = np.zeros((cap, 3))
-        b2 = np.zeros((cap, 3))
-        b1[:n] = last.bearings[:n]
-        b2[:n] = next_bearings
-        res_r = ransac.ransac_rotation(
-            self._next_key(), jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
-            threshold=np.radians(cfg.rotation_ransac_threshold),
-            num_hypotheses=cfg.ransac_hypotheses,
-        )
-        mask, rmask, R = fetch((res_e.inlier_mask, res_r.inlier_mask, res_r.model))
-        mask = mask[:n]
-        rmask = rmask[:n]
-        status = status & mask
-        if rmask.any():
-            ang = np.degrees(
-                np.arccos(
-                    np.clip(np.sum((last.bearings[:n][rmask] @ R.T) * next_bearings[rmask], -1), -1, 1)
-                )
-            )
-            misalign = float(np.sort(ang)[len(ang) * 7 // 10])
-        else:
-            misalign = 0.0
-        if misalign < cfg.rotation_misalignment_threshold:
-            frame.set_tag(FT_NO_TRANSLATION, True)
-
-        # Poisson re-filter by track length priority (reference frame.cpp:134-161)
         lengths = np.zeros(n)
-        trash = np.zeros(n, bool)
+        trash = np.zeros(cap, bool)
         for i in range(n):
             t = self.map.get_track(last, i)
             if t is not None:
                 lengths[i] = len(t.obs)
                 trash[i] = t.tag(TT_TRASH)
-        order = np.argsort(-lengths, kind="stable")
+        order = np.zeros(cap, np.int32)
+        order[:n] = np.argsort(-lengths, kind="stable")
+        order[n:] = np.arange(n, cap)
+
+        b1 = np.zeros((cap, 3))
+        b2 = np.tile([0.0, 0.0, 1.0], (cap, 1))
+        val = np.zeros(cap, bool)
+        npix = np.zeros((cap, 2))
+        b1[:n] = last.bearings[:n]
+        b2[:n] = next_bearings
+        val[:n] = status
+        npix[:n] = next_pix_raw
+
+        dts, ws, accs = builders.pad_imu(
+            (frame.imu_dt, frame.imu_w, frame.imu_a), self.caps.IMU
+        )
         W_img, H_img = self.config.camera_resolution
-        # pad to the fixed capacity so the jitted filter compiles once
-        pd_pts = np.zeros((self.KP_CAP, 2))
-        pd_val = np.zeros(self.KP_CAP, bool)
-        pd_pts[:n] = next_pix[order]
-        pd_val[:n] = status[order] & ~trash[order]
-        acc = asnp(
-            poisson_disk.poisson_disk_filter(
-                jnp.asarray(pd_pts), jnp.asarray(pd_val),
-                min_distance=float(cfg.feature_tracker_min_keypoint_distance),
-                width=float(W_img), height=float(H_img),
-            )
-        )[:n]
-        keep = np.zeros(n, bool)
-        keep[order] = acc
-        status = status & keep & ~trash
+        from rd_vio_tpu.ops.frontend_step import ft_step
+
+        out = fetch(ft_step(
+            jnp.asarray(dts), jnp.asarray(ws), jnp.asarray(accs),
+            jnp.asarray(last.q), jnp.asarray(last.p), jnp.asarray(last.v),
+            jnp.asarray(last.bg), jnp.asarray(last.ba),
+            self.calib.cov_w, self.calib.cov_a, self.calib.cov_bg, self.calib.cov_ba,
+            jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
+            jnp.asarray(npix), jnp.asarray(order), jnp.asarray(trash),
+            self._next_key(),
+            float(np.radians(cfg.rotation_ransac_threshold)),
+            num_hypotheses=cfg.ransac_hypotheses,
+            min_dist=float(cfg.feature_tracker_min_keypoint_distance),
+            width=float(W_img), height=float(H_img),
+        ))
+
+        # predicted state (reference predict path)
+        frame.q, frame.p, frame.v = out["q"], out["p"], out["v"]
+        frame.bg, frame.ba = last.bg.copy(), last.ba.copy()
+
+        # pure-rotation detector (reference frame.cpp:115-131)
+        if float(out["misalign"]) < cfg.rotation_misalignment_threshold:
+            frame.set_tag(FT_NO_TRANSLATION, True)
 
         # append surviving matches + track links (reference frame.cpp:163-171)
-        for i in np.flatnonzero(status):
+        final = out["mask"][:n]
+        for i in np.flatnonzero(final):
             k_new = frame.append_keypoint(next_bearings[i])
             t = self.map.get_track(last, i, create=True)
             self.map.add_keypoint(t, frame, k_new)

@@ -14,10 +14,12 @@ from rd_vio_tpu.models.odometry import Odometry
 from rd_vio_tpu.utils.trajectory import ate_rmse
 
 
-def _run_pipeline(duration=8.0, parsac=False, n_dynamic=0, seed=648):
+def _run_pipeline(duration=8.0, parsac=False, n_dynamic=0, seed=648,
+                  dynamic_velocity=0.5, dynamic_mode="random"):
     seq = synthetic.generate(
         duration=duration, n_landmarks=1200, max_keypoints=150,
-        seed=seed, n_dynamic=n_dynamic,
+        seed=seed, n_dynamic=n_dynamic, dynamic_velocity=dynamic_velocity,
+        dynamic_mode=dynamic_mode,
     )
     cfg = Config()
     cfg.camera_intrinsic = seq.K_mat
