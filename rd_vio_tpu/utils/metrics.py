@@ -1,0 +1,72 @@
+"""Structured per-frame metrics and stage timing.
+
+The reference only has scoped wall-clock debug timers and per-call latency
+prints (SURVEY.md §5 tracing). Here: a stage-latency ring buffer + JSONL
+emission of per-frame metrics (tracked keypoints, inlier ratios, solver
+iterations, stage timings), and context-manager timers.
+"""
+
+from __future__ import annotations
+
+import collections
+import contextlib
+import json
+import time
+from typing import Dict, Optional
+
+
+class StageTimer:
+    """Per-stage wall-clock ring buffers (reference unique_timer.h analogue)."""
+
+    def __init__(self, window: int = 256):
+        self.window = window
+        self.samples: Dict[str, collections.deque] = {}
+
+    @contextlib.contextmanager
+    def time(self, stage: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.samples.setdefault(
+                stage, collections.deque(maxlen=self.window)
+            ).append(dt)
+
+    def stats(self) -> Dict[str, dict]:
+        out = {}
+        for k, dq in self.samples.items():
+            if not dq:
+                continue
+            xs = sorted(dq)
+            n = len(xs)
+            out[k] = {
+                "n": n,
+                "mean_ms": 1e3 * sum(xs) / n,
+                "p50_ms": 1e3 * xs[n // 2],
+                "p90_ms": 1e3 * xs[min(n - 1, int(n * 0.9))],
+            }
+        return out
+
+
+class MetricsLogger:
+    """JSONL per-frame metrics sink."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._fh = open(path, "a") if path else None
+        self.latest: dict = {}
+
+    def log(self, **kv):
+        self.latest = kv
+        if self._fh:
+            self._fh.write(json.dumps(kv) + "\n")
+            self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+
+GLOBAL_TIMER = StageTimer()
