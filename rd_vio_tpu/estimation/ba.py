@@ -388,31 +388,43 @@ def solve_normal_system(H, g, Hll, Hcl, bl, cmask, lam, opt_lm):
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def solve_ba(states: FrameStates, inv_depth, pb: BAProblem, max_iterations: int = 10):
-    """Levenberg-Marquardt with accept/reject and fixed iteration budget
-    (reference solver.cpp:180-194 runs <= config iterations of DOGLEG; LM with
-    adaptive damping is the jit-friendly trust-region equivalent)."""
+    """Levenberg-Marquardt with accept/reject, early termination, and a fixed
+    iteration budget (reference solver.cpp:180-194 runs <= config iterations of
+    DOGLEG with Ceres' own convergence tests; LM with adaptive damping + a
+    relative-decrease stop is the jit-friendly trust-region equivalent).
+
+    Implemented as lax.while_loop so converged solves (the common steady-state
+    case: 2-3 accepted steps) stop paying for the full budget."""
     W = states.q.shape[0]
     dtype = states.q.dtype
     cost0 = compute_cost(states, inv_depth, pb)
 
-    def body(carry, _):
-        s, invd, lam, cost, n_acc = carry
+    def cond(carry):
+        s, invd, lam, cost, n_acc, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def body(carry):
+        s, invd, lam, cost, n_acc, it, done = carry
         H, g, Hll, Hcl, bl, cmask = build_normal_system(s, invd, pb)
         dc, dl = solve_normal_system(H, g, Hll, Hcl, bl, cmask, lam, pb.opt_lm)
         s_new = retract(s, dc.reshape(W, ES_SIZE))
         invd_new = invd + dl * pb.opt_lm.astype(dtype)
         new_cost = compute_cost(s_new, invd_new, pb)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
-        s = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, b, a), s, s_new
-        )
+        # Ceres-style function_tolerance stop: accepted step with tiny
+        # relative decrease, or a tiny proposed step
+        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-300)
+        step_small = jnp.max(jnp.abs(dc)) < 1e-10
+        done = (accept & (rel_decrease < 1e-8)) | step_small
+        s = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), s, s_new)
         invd = jnp.where(accept, invd_new, invd)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e8))
-        return (s, invd, lam, cost, n_acc + accept.astype(jnp.int32)), None
+        return (s, invd, lam, cost, n_acc + accept.astype(jnp.int32), it + 1, done)
 
-    init = (states, inv_depth, jnp.asarray(1e-4, dtype), cost0, jnp.asarray(0, jnp.int32))
-    (s, invd, lam, cost, n_acc), _ = jax.lax.scan(body, init, None, length=max_iterations)
+    init = (states, inv_depth, jnp.asarray(1e-4, dtype), cost0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    s, invd, lam, cost, n_acc, it, done = jax.lax.while_loop(cond, body, init)
     return BAResult(
         states=s, inv_depth=invd, cost=cost, initial_cost=cost0, iterations=n_acc
     )
