@@ -52,6 +52,7 @@ class SlidingWindowTracker:
             O=256, L=64, P=768, Fi=12, Fp=2, R=caps.R,
         )
         self.feature_tracking_map: Optional[Map] = None
+        self.dist_mesh = None  # set to a parallel.dist_ba mesh for sharded BA
         self.prior: Optional[F.PriorFactor] = None
         self.m_th = 3.0  # adaptive epipolar threshold (px)
         self.bin_conf_imu = parsac.default_bin_confidences()
@@ -300,8 +301,33 @@ class SlidingWindowTracker:
             reproj=reproj, imu=imu, rot=[], prior=self.prior,
         )
         states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
-        res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
-        builders.apply_result(res, spec, lm_slot)
+        if self.dist_mesh is not None:
+            # landmark-sharded distributed Schur BA (parallel/dist_ba.py)
+            from rd_vio_tpu.parallel import dist_ba
+            from rd_vio_tpu.utils.host import fetch
+
+            n_sh = self.dist_mesh.shape[dist_ba.LM_AXIS]
+            invd_s, pb_s, new_slot = dist_ba.relayout_for_sharding(invd, pb, n_sh)
+            invd_dev, pb_dev = dist_ba.shard_problem(self.dist_mesh, invd_s, pb_s)
+            s_out, invd_out, _cost = dist_ba.solve_ba_sharded(
+                states, invd_dev, pb_dev, self.dist_mesh,
+                max_iterations=self.config.solver_iteration_limit,
+            )
+            q, p, v, bg, ba_arr, invd_h = fetch(
+                (s_out.q, s_out.p, s_out.v, s_out.bg, s_out.ba, invd_out)
+            )
+            for i, f in enumerate(spec.frames):
+                f.q, f.p, f.v, f.bg, f.ba = q[i], p[i], v[i], bg[i], ba_arr[i]
+            by_id = {t.id: t for t in spec.opt_tracks}
+            for tid, old in lm_slot.items():
+                t = by_id.get(tid)
+                if t is not None:
+                    t.inv_depth = float(invd_h[new_slot[old]])
+        else:
+            res = ba.solve_ba(
+                states, invd, pb, max_iterations=self.config.solver_iteration_limit
+            )
+            builders.apply_result(res, spec, lm_slot)
 
         # post-solve landmark validation (reference :304-336)
         self._validate_landmarks()

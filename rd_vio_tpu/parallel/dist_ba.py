@@ -41,9 +41,9 @@ def relayout_for_sharding(invd, pb: ba.BAProblem, n_shards: int):
     """Host-side re-layout so shard k owns landmark slots [k*L/n, (k+1)*L/n)
     and exactly the observation rows referencing them (padded per shard).
 
-    Returns (invd, pb) with permuted landmark slots and observation rows; the
-    permutation is recorded nowhere — callers needing to map results back
-    should use the returned pb's lm indices.
+    Returns (invd, pb, new_slot) with permuted landmark slots and observation
+    rows; new_slot[old_slot] gives the relocated landmark slot so callers can
+    map results back.
     """
     import numpy as np
 
@@ -122,7 +122,7 @@ def relayout_for_sharding(invd, pb: ba.BAProblem, n_shards: int):
     )
     return jnp.asarray(invd_new), pb._replace(
         reproj=reproj, opt_lm=jnp.asarray(opt_new)
-    )
+    ), new_slot
 
 
 def shard_problem(mesh: Mesh, invd, pb: ba.BAProblem):

@@ -40,7 +40,7 @@ def test_sharded_matches_single_device():
     invd0 = jnp.maximum(invd_gt * 1.05, 1e-3)
 
     mesh = dist_ba.make_vio_mesh(8)
-    invd_s, pb_s = dist_ba.relayout_for_sharding(invd0, pb, 8)
+    invd_s, pb_s, _ = dist_ba.relayout_for_sharding(invd0, pb, 8)
     invd_dev, pb_dev = dist_ba.shard_problem(mesh, invd_s, pb_s)
     s_dist, invd_dist, cost_dist = dist_ba.solve_ba_sharded(
         states0, invd_dev, pb_dev, mesh, max_iterations=8
@@ -69,6 +69,6 @@ def test_relayout_preserves_problem():
     cost at the same state."""
     states, invd, pb = _problem()
     c0 = float(ba.compute_cost(states, invd, pb))
-    invd_s, pb_s = dist_ba.relayout_for_sharding(invd, pb, 8)
+    invd_s, pb_s, _ = dist_ba.relayout_for_sharding(invd, pb, 8)
     c1 = float(ba.compute_cost(states, invd_s, pb_s))
     assert abs(c0 - c1) < 1e-9 * max(1.0, abs(c0))
