@@ -69,22 +69,23 @@ class SyntheticBackend:
     def track(self, prev_image, next_image, prev_pix, pred_pix):
         pix_p, ids_p = self._frame_kps(prev_image)
         pix_n, ids_n = self._frame_kps(next_image)
-        id_to_next = {int(i): k for k, i in enumerate(ids_n)}
         out = np.zeros_like(prev_pix)
         status = np.zeros(len(prev_pix), bool)
-        # exact-pixel association: bearings are pixel-exact in this backend,
-        # so anything farther than numerical noise is a different landmark
-        # (a loose radius here silently drifts tracks between landmarks)
-        for i, p in enumerate(prev_pix):
-            d = np.linalg.norm(pix_p - p, axis=-1)
-            j = int(np.argmin(d)) if len(d) else -1
-            if j < 0 or d[j] > 1e-5:
-                continue
-            k = id_to_next.get(int(ids_p[j]))
-            if k is None:
-                continue
-            out[i] = pix_n[k]
-            status[i] = True
+        if len(pix_p) == 0 or len(prev_pix) == 0:
+            return out, status
+        # exact-pixel association (vectorized): bearings are pixel-exact in
+        # this backend, so anything farther than numerical noise is a
+        # different landmark (a loose radius silently drifts tracks)
+        d = np.linalg.norm(prev_pix[:, None] - pix_p[None], axis=-1)  # (N, M)
+        j = np.argmin(d, axis=1)
+        hit = d[np.arange(len(prev_pix)), j] <= 1e-5
+        lid = ids_p[j]  # landmark id per prev keypoint
+        next_pos = np.full(int(ids_n.max()) + 2, -1, dtype=np.int64)
+        next_pos[ids_n] = np.arange(len(ids_n))
+        k = next_pos[np.clip(lid, 0, len(next_pos) - 1)]
+        ok = hit & (k >= 0)
+        out[ok] = pix_n[k[ok]]
+        status[ok] = True
         return out, status
 
 
