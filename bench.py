@@ -28,6 +28,14 @@ def main():
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
+    # optional profiler trace (SURVEY.md §5 tracing): bench.py --profile <dir>
+    if "--profile" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--profile") + 1]
+        jax.profiler.start_trace(trace_dir)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
+
     duration = 8.0
     seq = synthetic.generate(duration=duration, n_landmarks=1200, max_keypoints=150)
     cfg = Config()

@@ -136,6 +136,19 @@ class Config:
     def solver_np_dtype(self):
         return np.dtype(self.solver_dtype)
 
+    def log_config(self, log=None) -> str:
+        """Full configuration dump (reference config.cpp:75-205 log_config)."""
+        lines = ["Configurations:"]
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                v = np.array2string(np.asarray(v), precision=5, separator=", ")
+            lines.append(f"  Config::{f.name}: {v}")
+        text = "\n".join(lines)
+        if log is not None:
+            log.info(text)
+        return text
+
 
 def _load_opencv_yaml(path: str) -> dict:
     """Load an OpenCV-style YAML (tolerates the '%YAML:1.0' directive)."""
