@@ -131,7 +131,8 @@ class Config:
     max_observations: int = 4096  # O_max reprojection factor slots per solve
     max_imu_per_interval: int = 64  # IMU samples per frame-to-frame interval
     ransac_hypotheses: int = 256  # K batched hypotheses per robust solve
-    solver_dtype: str = "float64"
+    solver_dtype: str = "float64"  # keyframe/marginalization solves (prior conditioning)
+    fast_solver_dtype: str = "float32"  # prior-free per-frame solves (localize/subwindow)
 
     def solver_np_dtype(self):
         return np.dtype(self.solver_dtype)

@@ -413,7 +413,7 @@ def solve_ba(states: FrameStates, inv_depth, pb: BAProblem, max_iterations: int 
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         # Ceres-style function_tolerance stop: accepted step with tiny
         # relative decrease, or a tiny proposed step
-        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-300)
+        rel_decrease = (cost - new_cost) / jnp.maximum(cost, jnp.finfo(dtype).tiny)
         step_small = jnp.max(jnp.abs(dc)) < 1e-10
         done = (accept & (rel_decrease < 1e-8)) | step_small
         s = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), s, s_new)

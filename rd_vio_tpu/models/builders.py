@@ -252,8 +252,21 @@ def _frame_states(frames: List[Frame], W: int) -> FrameStates:
     )
 
 
-def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
-    """Returns (states, inv_depth, BAProblem, lm_slot_by_track_id)."""
+def _cast_floats(tree, dtype):
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return a
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
+    """Returns (states, inv_depth, BAProblem, lm_slot_by_track_id).
+
+    dtype: optional float dtype for the solve (e.g. jnp.float32 for the
+    prior-free per-frame solves — TPU-native f32 linalg is much faster than
+    emulated f64; the marginalization-prior solves stay f64 for conditioning,
+    see SURVEY.md §7)."""
     W, L, O, Fi, R = caps.W, caps.L, caps.O, caps.Fi, caps.R
     if len(spec.frames) > W:
         # defensive: drop trailing (fixed-anchor) frames; factors referencing
@@ -458,7 +471,12 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps):
         opt_pose=jnp.asarray(opt_pose), opt_motion=jnp.asarray(opt_motion),
         opt_lm=jnp.asarray(opt_lm),
     )
-    return states, jnp.asarray(invd), pb, lm_slot
+    invd_j = jnp.asarray(invd)
+    if dtype is not None:
+        states = _cast_floats(states, dtype)
+        invd_j = invd_j.astype(dtype)
+        pb = _cast_floats(pb, dtype)
+    return states, invd_j, pb, lm_slot
 
 
 def apply_result(res: ba.BAResult, spec: BASpec, lm_slot: Dict[int, int]):

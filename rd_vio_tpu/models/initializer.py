@@ -80,6 +80,7 @@ class Initializer:
             caps, W=config.sliding_window_subframe_size + 6,
             O=256, L=64, P=768, Fi=12, Fp=2, R=caps.R,
         )
+        self._fast_dtype = jnp.dtype(config.fast_solver_dtype)
         self.map: Optional[Map] = None
         self._rng_key = jax.random.PRNGKey(config.random)
         # imu-init scratch
@@ -307,7 +308,7 @@ class Initializer:
                 reproj_prior=reproj_prior,
             )
             states, invd, pb, lm_slot = builders.build_problem(
-                spec, self.calib, self.caps_fast
+                spec, self.calib, self.caps_fast, dtype=self._fast_dtype
             )
             res = ba.solve_ba(states, invd, pb, max_iterations=cfg.solver_iteration_limit)
             builders.apply_result(res, spec, lm_slot)

@@ -51,6 +51,9 @@ class SlidingWindowTracker:
             caps, W=config.sliding_window_subframe_size + 6,
             O=256, L=64, P=768, Fi=12, Fp=2, R=caps.R,
         )
+        # prior-free solves run in f32 (TPU-native linalg); keyframe solves
+        # with the marginalization prior stay f64 (SURVEY.md §7 conditioning)
+        self._fast_dtype = jnp.dtype(config.fast_solver_dtype)
         self.feature_tracking_map: Optional[Map] = None
         self.dist_mesh = None  # set to a parallel.dist_ba mesh for sharded BA
         self.prior: Optional[F.PriorFactor] = None
@@ -160,7 +163,7 @@ class SlidingWindowTracker:
             reproj_prior=reproj_prior, imu_prior=imu_prior,
         )
         states, invd, pb, lm_slot = builders.build_problem(
-            spec, self.calib, self.caps_fast
+            spec, self.calib, self.caps_fast, dtype=self._fast_dtype
         )
         res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
         builders.apply_result(res, spec, lm_slot)
@@ -545,7 +548,7 @@ class SlidingWindowTracker:
                 reproj_prior=reproj_prior, imu_prior=imu_prior,
             )
             states, invd, pb, lm_slot = builders.build_problem(
-                spec, self.calib, self.caps_fast
+                spec, self.calib, self.caps_fast, dtype=self._fast_dtype
             )
             res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
             builders.apply_result(res, spec, lm_slot)
@@ -587,7 +590,7 @@ class SlidingWindowTracker:
                 reproj_prior=reproj_prior, imu_prior=imu_prior,
             )
             states, invd, pb, lm_slot = builders.build_problem(
-                spec, self.calib, self.caps_fast
+                spec, self.calib, self.caps_fast, dtype=self._fast_dtype
             )
             res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
             builders.apply_result(res, spec, lm_slot)
