@@ -2,9 +2,12 @@
 
 The synthetic analogue of the reference's examples/test_euroc.cpp runner.
 
-Usage: python examples/run_synthetic.py [duration_s] [--images]
-  --images  render pixel images and use the real CLAHE/GFTT/KLT frontend
-            instead of the perfect-match backend.
+Usage: python examples/run_synthetic.py [duration_s] [--images] [--threaded]
+  --images    render pixel images and use the real CLAHE/GFTT/KLT frontend
+              instead of the perfect-match backend.
+  --threaded  run the two-stage pipeline (feature tracker / optimizer worker
+              threads, the reference's THREADING=ON model) instead of inline
+              synchronous dispatch.
 """
 
 import os
@@ -44,7 +47,8 @@ def main():
         backend = SyntheticBackend(seq)
         image_of = lambda i: i
 
-    odo = Odometry(cfg, backend)
+    threaded = "--threaded" in sys.argv
+    odo = Odometry(cfg, backend, threaded=threaded)
     events = sorted(
         [(t, 1, i) for i, t in enumerate(seq.t_imu)]
         + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
@@ -61,9 +65,12 @@ def main():
                 if ls is not None:
                     est_t.append(ls[0])
                     est_p.append(ls[2])
+    if threaded:
+        odo.join()  # drain both pipeline stages before measuring
     wall = time.perf_counter() - t0
 
     if not est_p:
+        odo.close()
         print("never reached tracking")
         return 1
     est_p = np.asarray(est_p)
@@ -73,6 +80,7 @@ def main():
           f"({len(seq.t_frame)/wall:.2f} fps)")
     print(f"ATE (SE3-aligned RMSE): {ate_rmse(est_p, gt):.4f} m")
     print(f"landmarks: {len(odo.local_map())}")
+    odo.close()
     return 0
 
 

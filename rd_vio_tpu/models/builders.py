@@ -48,7 +48,9 @@ class Caps:
 
 @dataclasses.dataclass
 class CalibArrays:
-    """Config-derived device constants."""
+    """Config-derived device constants (+ host mirrors of the extrinsics:
+    the branchy host code reads them in per-track loops, and fetching a
+    device constant costs a full round trip on tunneled TPU deployments)."""
 
     ext: F.Extrinsics
     sqrt_inv_cov2: jnp.ndarray
@@ -57,6 +59,16 @@ class CalibArrays:
     cov_bg: jnp.ndarray
     cov_ba: jnp.ndarray
     K: np.ndarray  # host intrinsics
+    q_bc_h: np.ndarray = None  # host extrinsic mirrors
+    p_bc_h: np.ndarray = None
+    q_bi_h: np.ndarray = None
+    p_bi_h: np.ndarray = None
+
+    def __post_init__(self):
+        if self.q_bc_h is None:
+            self.q_bc_h, self.p_bc_h, self.q_bi_h, self.p_bi_h = fetch(
+                (self.ext.q_bc, self.ext.p_bc, self.ext.q_bi, self.ext.p_bi)
+            )
 
     @staticmethod
     def from_config(cfg):
@@ -133,81 +145,36 @@ def integrate_frames(
     return delta, sic
 
 
-def integrate_single(frame: Frame, bg0, ba0, calib: CalibArrays, cap: int):
-    delta, sic = integrate_frames(
-        [(frame.imu_dt, frame.imu_w, frame.imu_a)],
-        asnp(bg0)[None], asnp(ba0)[None], calib, cap,
-    )
-    return jax.tree_util.tree_map(lambda a: a[0], delta), sic[0]
-
-
 def predict_frame(frame_prev: Frame, frame: Frame, calib: CalibArrays, cap: int):
     """Preintegrate frame's interval at prev biases and propagate the state
-    (reference mirror_frame tail / judge_track_status head). The gravity-aware
-    propagation runs host-side (tiny math; avoids eager device ops on the
-    per-frame hot path)."""
-    delta, sic = integrate_single(frame, frame_prev.bg, frame_prev.ba, calib, cap)
-    dt_a, dq, dp, dv = fetch((delta.t, delta.q, delta.p, delta.v))
-    dt = float(dt_a)
-    g = np.array([0.0, 0.0, -9.80665])
-    frame.v = frame_prev.v + g * dt + qrot(frame_prev.q, dv)
-    frame.p = (
-        frame_prev.p + 0.5 * g * dt * dt + frame_prev.v * dt
-        + qrot(frame_prev.q, dp)
+    (reference mirror_frame tail / judge_track_status head). Mean-only math,
+    fully host-side: covariance/bias Jacobians are only needed by BA factors
+    (which integrate on-device); doing the ~10-sample mean loop in NumPy saves
+    one device dispatch + fetch per call on the per-frame hot path."""
+    from rd_vio_tpu.ops import preintegration_np as pre_np
+
+    frame.q, frame.p, frame.v = pre_np.predict_frame_mean(
+        frame_prev.q, frame_prev.p, frame_prev.v, frame_prev.bg, frame_prev.ba,
+        frame.imu_dt, frame.imu_w, frame.imu_a,
     )
-    qn = qmul(frame_prev.q, dq)
-    frame.q = qn / np.linalg.norm(qn)
     frame.bg = frame_prev.bg.copy()
     frame.ba = frame_prev.ba.copy()
-    return delta, sic
-
-
-@jax.jit
-def _propagate_chain_scan(dts, ws, accs, q0, p0, v0, bg, ba_, cov_w, cov_a, cov_bg, cov_ba):
-    """Sequential gravity-aware propagation over a padded chain of intervals.
-    dts/ws/accs: (F, cap[, 3]). Returns per-frame (q, p, v)."""
-
-    def step(carry, interval):
-        q, p, v = carry
-        dt_i, w_i, a_i = interval
-        d = pre.integrate(dt_i, w_i, a_i, bg, ba_, cov_w, cov_a, cov_bg, cov_ba)
-        q2, p2, v2, _, _ = pre.predict(d, q, p, v, bg, ba_)
-        return (q2, p2, v2), (q2, p2, v2)
-
-    _, out = jax.lax.scan(step, (q0, p0, v0), (dts, ws, accs))
-    return out
-
-
-CHAIN_CAP = 8
 
 
 def propagate_chain(frames: List[Frame], start: Frame, calib: CalibArrays, cap: int):
-    """Re-propagate `frames` (in order) from `start`'s state — ONE device
-    round trip for the whole chain (reference feature_tracker.cpp:36-69
-    re-anchoring loop)."""
-    from rd_vio_tpu.utils.host import fetch as _fetch
+    """Re-propagate `frames` (in order) from `start`'s state — pure host math
+    (reference feature_tracker.cpp:36-69 re-anchoring loop). Mean-only, so no
+    device work at all; the chain is short (a few frames x ~10 samples)."""
+    from rd_vio_tpu.ops import preintegration_np as pre_np
 
-    i0 = 0
     prev = start
-    while i0 < len(frames):
-        block = frames[i0 : i0 + CHAIN_CAP]
-        Fb = CHAIN_CAP
-        dts = np.zeros((Fb, cap))
-        ws = np.zeros((Fb, cap, 3))
-        accs = np.zeros((Fb, cap, 3))
-        for k, f in enumerate(block):
-            dts[k], ws[k], accs[k] = pad_imu((f.imu_dt, f.imu_w, f.imu_a), cap)
-        q, p, v = _fetch(_propagate_chain_scan(
-            jnp.asarray(dts), jnp.asarray(ws), jnp.asarray(accs),
-            jnp.asarray(prev.q), jnp.asarray(prev.p), jnp.asarray(prev.v),
-            jnp.asarray(prev.bg), jnp.asarray(prev.ba),
-            calib.cov_w, calib.cov_a, calib.cov_bg, calib.cov_ba,
-        ))
-        for k, f in enumerate(block):
-            f.q, f.p, f.v = q[k], p[k], v[k]
-            f.bg, f.ba = prev.bg.copy(), prev.ba.copy()
-        prev = block[-1]
-        i0 += CHAIN_CAP
+    for f in frames:
+        f.q, f.p, f.v = pre_np.predict_frame_mean(
+            prev.q, prev.p, prev.v, prev.bg, prev.ba,
+            f.imu_dt, f.imu_w, f.imu_a,
+        )
+        f.bg, f.ba = prev.bg.copy(), prev.ba.copy()
+        prev = f
 
 
 # ---------------------------------------------------------------------------
@@ -367,8 +334,8 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
 
     # fixed-anchor reprojection priors
     Pcap = caps.P
-    q_bc_h = asnp(calib.ext.q_bc)
-    p_bc_h = asnp(calib.ext.p_bc)
+    q_bc_h = calib.q_bc_h
+    p_bc_h = calib.p_bc_h
     pp_tgt = np.zeros(Pcap, np.int32)
     pp_qref = np.tile([1.0, 0, 0, 0], (Pcap, 1))
     pp_pref = np.zeros((Pcap, 3))
@@ -525,8 +492,8 @@ def triangulate_tracks(
     qcw = np.tile([1.0, 0, 0, 0], (n_cap, V, 1))
     pcw = np.zeros((n_cap, V, 3))
     m = np.zeros((n_cap, V))
-    q_bc = asnp(calib.ext.q_bc)
-    p_bc = asnp(calib.ext.p_bc)
+    q_bc = calib.q_bc_h
+    p_bc = calib.p_bc_h
     for ti, t in enumerate(tracks):
         vi = 0
         for fid, k in t.obs.items():
@@ -553,7 +520,7 @@ def triangulate_tracks(
 def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
     fid = track.first_frame_id()
     f = frames_by_id[fid]
-    qc, pc = f.get_pose(asnp(calib.ext.q_bc), asnp(calib.ext.p_bc))
+    qc, pc = f.get_pose(calib.q_bc_h, calib.p_bc_h)
     z = f.bearings[track.obs[fid]]
     return qrot(qc, z / track.inv_depth) + pc
 
@@ -561,6 +528,6 @@ def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
 def set_landmark_point(track: Track, x_world, frames_by_id, calib: CalibArrays):
     fid = track.first_frame_id()
     f = frames_by_id[fid]
-    qc, pc = f.get_pose(asnp(calib.ext.q_bc), asnp(calib.ext.p_bc))
+    qc, pc = f.get_pose(calib.q_bc_h, calib.p_bc_h)
     d = np.linalg.norm(qrot(qconj(qc), asnp(x_world) - pc))
     track.inv_depth = 1.0 / max(d, 1e-9)

@@ -132,10 +132,11 @@ class FeatureTracker:
         self._frame_counter += 1
 
         # re-anchor poses from the frontend's latest optimized state
-        self._repropagate_from_optimized()
+        with self.map.lock:
+            self._repropagate_from_optimized()
+            last = self.map.get_frame(self.map.frame_num - 1) if self.map.frame_num else None
 
-        if self.map.frame_num > 0:
-            last = self.map.get_frame(self.map.frame_num - 1)
+        if last is not None:
             # fused device program: preintegrate+predict, RANSAC masks,
             # pure-rotation detector, Poisson re-filter — one call, one fetch
             self._track_keypoints(last, frame)
@@ -145,8 +146,9 @@ class FeatureTracker:
         if (self._frame_counter % max(self.config.sliding_window_tracker_frequent, 1)) == 0:
             self._detect_keypoints(frame)
 
-        self.map.attach_frame(frame)
-        self._trim_map()
+        with self.map.lock:
+            self.map.attach_frame(frame)
+            self._trim_map()
         if self.frontend is not None:
             self.frontend.issue_frame(frame)
 
@@ -154,11 +156,12 @@ class FeatureTracker:
         """Called by the frontend right after it publishes a new optimized
         state: re-anchor the raw-frame chain and refresh latest_state so
         consumers never see a stale pre-optimization prediction."""
-        self._repropagate_from_optimized()
-        if self.map.frame_num > 0:
-            f = self.map.get_frame(self.map.frame_num - 1)
-            self.latest_state = (f.t, f.q.copy(), f.p.copy(), f.v.copy(),
-                                 f.bg.copy(), f.ba.copy())
+        with self.map.lock:
+            self._repropagate_from_optimized()
+            if self.map.frame_num > 0:
+                f = self.map.get_frame(self.map.frame_num - 1)
+                self.latest_state = (f.t, f.q.copy(), f.p.copy(), f.v.copy(),
+                                     f.bg.copy(), f.ba.copy())
 
     def _repropagate_from_optimized(self):
         """Pull the frontend's latest optimized state and re-propagate all
@@ -192,8 +195,8 @@ class FeatureTracker:
         pred_pix = curr_pix
         delta_q = self._interval_rotation(frame)
         if cfg.feature_tracker_predict_keypoints and delta_q is not None:
-            q_bc = asnp(self.calib.ext.q_bc)
-            q_bi = asnp(self.calib.ext.q_bi)
+            q_bc = self.calib.q_bc_h
+            q_bi = self.calib.q_bi_h
             dkq = qconj(
                 qmul(qmul(qmul(qmul(qconj(q_bc), q_bi), delta_q), qconj(q_bi)), q_bc)
             )
@@ -217,11 +220,12 @@ class FeatureTracker:
         cap = self.KP_CAP
         lengths = np.zeros(n)
         trash = np.zeros(cap, bool)
-        for i in range(n):
-            t = self.map.get_track(last, i)
-            if t is not None:
-                lengths[i] = len(t.obs)
-                trash[i] = t.tag(TT_TRASH)
+        with self.map.lock:
+            for i in range(n):
+                t = self.map.get_track(last, i)
+                if t is not None:
+                    lengths[i] = len(t.obs)
+                    trash[i] = t.tag(TT_TRASH)
         order = np.zeros(cap, np.int32)
         order[:n] = np.argsort(-lengths, kind="stable")
         order[n:] = np.arange(n, cap)
@@ -265,10 +269,11 @@ class FeatureTracker:
 
         # append surviving matches + track links (reference frame.cpp:163-171)
         final = out["mask"][:n]
-        for i in np.flatnonzero(final):
-            k_new = frame.append_keypoint(next_bearings[i])
-            t = self.map.get_track(last, i, create=True)
-            self.map.add_keypoint(t, frame, k_new)
+        with self.map.lock:
+            for i in np.flatnonzero(final):
+                k_new = frame.append_keypoint(next_bearings[i])
+                t = self.map.get_track(last, i, create=True)
+                self.map.add_keypoint(t, frame, k_new)
 
     def _interval_rotation(self, frame: Frame):
         """Integrate the frame's gyro samples into a delta rotation quat."""

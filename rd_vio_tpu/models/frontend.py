@@ -6,6 +6,7 @@ Behavioral reference: /root/reference/src/rdvio/src/frontend.cpp:26-97.
 
 from __future__ import annotations
 
+import threading
 from enum import Enum
 from typing import Optional
 
@@ -33,33 +34,68 @@ class Frontend:
         self.pending_frame_ids = []
         # (t, frame_id, q, p, v, bg, ba)
         self.latest_optimized = None
+        # threaded pipeline mode (reference handler.cpp:35-50): issue_frame
+        # only enqueues; Handler's frontend worker drains via run()
+        self.threaded = False
+        self._cv = threading.Condition()
 
     @property
     def initializing(self) -> bool:
         return self.initializer is not None
 
     def issue_frame(self, frame):
-        self.pending_frame_ids.append(frame.id)
-        self.run()
+        if self.threaded:
+            with self._cv:
+                self.pending_frame_ids.append(frame.id)
+                self._cv.notify_all()
+        else:
+            self.pending_frame_ids.append(frame.id)
+            self.run()
+
+    # -- threaded-mode synchronization helpers ---------------------------
+    def wake(self):
+        with self._cv:
+            self._cv.notify_all()
+
+    def wait_for_work(self, stop, timeout=0.2) -> bool:
+        with self._cv:
+            if self.pending_frame_ids:
+                return True
+            self._cv.wait(timeout=timeout)
+            return bool(self.pending_frame_ids) and not stop.is_set()
+
+    def wait_for_backlog(self, n: int, stop):
+        """Block until <= n frames are pending (producer backpressure)."""
+        with self._cv:
+            while len(self.pending_frame_ids) > n and not stop.is_set():
+                self._cv.wait(timeout=0.2)
 
     def run(self):
-        if not self.pending_frame_ids:
-            return
+        ft_map = self.feature_tracker.map
+        with self._cv:
+            if not self.pending_frame_ids:
+                return
+            if self.initializer is not None:
+                fid = self.pending_frame_ids[0]
+                self.pending_frame_ids.clear()
+            else:
+                fid = self.pending_frame_ids.pop(0)
+            self._cv.notify_all()  # wake backpressured producers
         if self.initializer is not None:
-            fid = self.pending_frame_ids[0]
-            self.pending_frame_ids.clear()
-            self.initializer.mirror_keyframe_map(self.feature_tracker.map, fid)
+            with ft_map.lock:
+                self.initializer.mirror_keyframe_map(ft_map, fid)
             init_map = self.initializer.initialize()
             if init_map is not None:
                 self.swt = SlidingWindowTracker(
                     init_map, self.config, self.calib, self.caps
                 )
-                self.swt.feature_tracking_map = self.feature_tracker.map
+                self.swt.feature_tracking_map = ft_map
                 self._publish(fid)
                 self.initializer = None
         elif self.swt is not None:
-            fid = self.pending_frame_ids.pop(0)
-            if not self.swt.mirror_frame(self.feature_tracker.map, fid):
+            with ft_map.lock:
+                ok = self.swt.mirror_frame(ft_map, fid)
+            if not ok:
                 return
             if self.swt.track():
                 self._publish(fid)

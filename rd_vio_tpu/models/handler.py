@@ -4,11 +4,17 @@ IMU-rate pose prediction.
 Behavioral reference: /root/reference/src/rdvio/src/handler.cpp —
 track_gyroscope/track_accelerometer interpolation (:56-111), track_imu frame
 dispatch (:140-152), predict_pose forward-Euler propagation for low-latency
-output (:13-26, 154-177), track_camera frame packing (:113-138).
+output (:13-26, 154-177), track_camera frame packing (:113-138), and the
+THREADING=ON worker model (:35-50: one thread runs the feature tracker, one
+runs the frontend/optimizer) — implemented here as event-driven queues rather
+than 1/5 ms polling loops; `threaded=False` reproduces THREADING=OFF inline
+dispatch (feature_tracker.cpp:113-118, frontend.cpp:68-73).
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from collections import deque
 from typing import Optional
 
@@ -37,7 +43,7 @@ def _propagate(q, p, v, dt, w, a, bg, ba):
 
 
 class Handler:
-    def __init__(self, config, feature_tracker, frontend):
+    def __init__(self, config, feature_tracker, frontend, threaded: bool = False):
         self.config = config
         self.feature_tracker = feature_tracker
         self.frontend = frontend
@@ -48,6 +54,65 @@ class Handler:
         self._frame_samples = []  # (t, w, a) accumulating for the front frame
         self._last_sample = None  # last dispatched fused sample
         self._last_frame_t = None
+
+        # -- threaded pipeline (reference handler.cpp:35-50) --------------
+        self.threaded = threaded
+        self._ft_queue: Optional[queue.Queue] = None
+        self._ft_worker: Optional[threading.Thread] = None
+        self._fe_worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        if threaded:
+            frontend.threaded = True
+            # bounded: ingestion blocks rather than letting the tracker race
+            # arbitrarily far ahead of the optimizer
+            self._ft_queue = queue.Queue(maxsize=4)
+            self._ft_worker = threading.Thread(
+                target=self._ft_loop, name="rdvio-feature-tracker", daemon=True
+            )
+            self._fe_worker = threading.Thread(
+                target=self._fe_loop, name="rdvio-frontend", daemon=True
+            )
+            self._ft_worker.start()
+            self._fe_worker.start()
+
+    # -- worker loops (threaded mode) -----------------------------------
+    def _ft_loop(self):
+        while True:
+            frame = self._ft_queue.get()
+            if frame is None:
+                self._ft_queue.task_done()
+                return
+            try:
+                # backpressure: keep the optimizer at most 2 frames behind so
+                # every frame is estimated (throughput = slowest stage, with
+                # the two stages overlapped)
+                self.frontend.wait_for_backlog(2, self._stop)
+                self.feature_tracker.track_frame(frame)
+            finally:
+                self._ft_queue.task_done()
+
+    def _fe_loop(self):
+        while not self._stop.is_set():
+            if not self.frontend.wait_for_work(self._stop, timeout=0.2):
+                continue
+            self.frontend.run()
+
+    def join(self):
+        """Block until both pipeline stages have drained (threaded mode)."""
+        if not self.threaded:
+            return
+        self._ft_queue.join()
+        self.frontend.wait_for_backlog(0, self._stop)
+
+    def close(self):
+        if not self.threaded or self._stop.is_set():
+            return
+        self.join()
+        self._stop.set()
+        self._ft_queue.put(None)
+        self.frontend.wake()
+        self._ft_worker.join(timeout=10)
+        self._fe_worker.join(timeout=10)
 
     # ------------------------------------------------------------------
     def track_camera(self, t: float, image) -> None:
@@ -124,7 +189,10 @@ class Handler:
             frame.imu_a = np.stack([s[2] for s in seq])
             self._last_sample = samples[-1] if samples else self._last_sample
         self._last_frame_t = frame.t
-        self.feature_tracker.track_frame(frame)
+        if self.threaded:
+            self._ft_queue.put(frame)  # blocks when the pipeline is full
+        else:
+            self.feature_tracker.track_frame(frame)
 
     # ------------------------------------------------------------------
     def predict_pose(self, t: float):

@@ -271,8 +271,8 @@ class Initializer:
         status = asnp(good[best])
 
         # [2.1] endpoint camera poses: cam_i at identity, cam_j = inv(R, T)
-        q_bc = asnp(self.calib.ext.q_bc)
-        p_bc = asnp(self.calib.ext.p_bc)
+        q_bc = self.calib.q_bc_h
+        p_bc = self.calib.p_bc_h
         fi.set_pose(q_bc, p_bc, np.array([1.0, 0, 0, 0]), np.zeros(3))
         fj.set_pose(q_bc, p_bc, R_to_q(R.T), -(R.T @ T))
 
@@ -356,8 +356,8 @@ class Initializer:
         m = self.map
         Km = self.calib.K
         frames_by_id = {f.id: f for f in m.all_frames()}
-        q_bc = asnp(self.calib.ext.q_bc)
-        p_bc = asnp(self.calib.ext.p_bc)
+        q_bc = self.calib.q_bc_h
+        p_bc = self.calib.p_bc_h
         for t in m.tracks.values():
             if not t.all_tagged(TT_VALID, TT_TRIANGULATED):
                 continue
@@ -411,13 +411,13 @@ class Initializer:
         self._deltas = jax.tree_util.tree_map(np.asarray, deltas)
 
     def _imu_pose(self, f: Frame):
-        q_bi = asnp(self.calib.ext.q_bi)
-        p_bi = asnp(self.calib.ext.p_bi)
+        q_bi = self.calib.q_bi_h
+        p_bi = self.calib.p_bi_h
         return f.get_pose(q_bi, p_bi)
 
     def _cam_pose(self, f: Frame):
-        q_bc = asnp(self.calib.ext.q_bc)
-        p_bc = asnp(self.calib.ext.p_bc)
+        q_bc = self.calib.q_bc_h
+        p_bc = self.calib.p_bc_h
         return f.get_pose(q_bc, p_bc)
 
     def solve_gyro_bias(self):
@@ -452,7 +452,7 @@ class Initializer:
         N = m.frame_num
         A = np.zeros(((N - 1) * 6, 3 + 1 + 3 * N))
         b = np.zeros((N - 1) * 6)
-        p_bc = asnp(self.calib.ext.p_bc)
+        p_bc = self.calib.p_bc_h
         for j in range(1, N):
             i = j - 1
             fi, fj = m.get_frame(i), m.get_frame(j)
@@ -486,7 +486,7 @@ class Initializer:
         N = m.frame_num
         A = np.zeros(((N - 1) * 6, 2 + 1 + 3 * N))
         b = np.zeros((N - 1) * 6)
-        p_bc = asnp(self.calib.ext.p_bc)
+        p_bc = self.calib.p_bc_h
         for _ in range(1):
             A[:] = 0
             b[:] = 0
@@ -523,8 +523,8 @@ class Initializer:
         m = self.map
         gravity_nominal = np.array([0.0, 0.0, -GRAVITY_NOMINAL])
         q = q_from_two_vectors(self.gravity, gravity_nominal)
-        q_bi = asnp(self.calib.ext.q_bi)
-        p_bi = asnp(self.calib.ext.p_bi)
+        q_bi = self.calib.q_bi_h
+        p_bi = self.calib.p_bi_h
         for i, f in enumerate(m.frames):
             qi, pi = f.get_pose(q_bi, p_bi)
             qi = qmul(q, qi)

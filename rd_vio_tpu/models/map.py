@@ -12,6 +12,7 @@ Tags follow the reference enums (frame.h:16-21, track.h:13-21).
 from __future__ import annotations
 
 import itertools
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -154,6 +155,10 @@ class Map:
     def __init__(self):
         self.frames: List[Frame] = []
         self.tracks: Dict[int, Track] = {}
+        # per-map mutex for the threaded pipeline mode (reference types.h:182
+        # `synchronized(map)` macro / map.h:47-49); uncontended in the default
+        # synchronous mode
+        self.lock = threading.RLock()
 
     # -- frames --
     @property

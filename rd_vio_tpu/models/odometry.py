@@ -24,7 +24,12 @@ from rd_vio_tpu.models.quat_np import qconj, qmul, qrot
 
 class Odometry:
     def __init__(self, config: Config, backend: ImageBackend,
-                 caps: Optional[builders.Caps] = None):
+                 caps: Optional[builders.Caps] = None, threaded: bool = False):
+        """threaded=True runs the reference's THREADING=ON pipeline model
+        (handler.cpp:35-50): the feature tracker and the optimizer run in
+        worker threads and overlap; call close() (or use as a context
+        manager) when done. threaded=False is fully synchronous and
+        deterministic."""
         self.config = config
         self.calib = builders.CalibArrays.from_config(config)
         # keyframe-solve capacity: window keyframes + transient lift slots
@@ -34,7 +39,24 @@ class Odometry:
         self.feature_tracker = FeatureTracker(config, self.calib, self.caps, backend)
         self.frontend = Frontend(self.feature_tracker, config, self.calib, self.caps)
         self.feature_tracker.frontend = self.frontend
-        self.handler = Handler(config, self.feature_tracker, self.frontend)
+        self.handler = Handler(config, self.feature_tracker, self.frontend,
+                               threaded=threaded)
+
+    # -- threaded-pipeline lifecycle --------------------------------------
+    def join(self):
+        """Block until all ingested frames are fully processed (no-op in
+        synchronous mode)."""
+        self.handler.join()
+
+    def close(self):
+        self.handler.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     # -- sensor ingestion ------------------------------------------------
     def add_frame(self, t: float, image) -> None:

@@ -342,8 +342,8 @@ class SlidingWindowTracker:
         m = self.map
         Km = self.calib.K
         frames_by_id = {f.id: f for f in m.all_frames()}
-        q_bc = asnp(self.calib.ext.q_bc)
-        p_bc = asnp(self.calib.ext.p_bc)
+        q_bc = self.calib.q_bc_h
+        p_bc = self.calib.p_bc_h
 
         # per-frame camera poses (few frames)
         cam = {}
@@ -601,8 +601,8 @@ class SlidingWindowTracker:
     def _predict_RT(self, frame_i: Frame, frame_j: Frame):
         """Relative camera transform from current (IMU-predicted) poses
         (reference predict_RT :529-555)."""
-        q_bc = asnp(self.calib.ext.q_bc)
-        p_bc = asnp(self.calib.ext.p_bc)
+        q_bc = self.calib.q_bc_h
+        p_bc = self.calib.p_bc_h
         qi, pi = frame_i.get_pose(q_bc, p_bc)
         qj, pj = frame_j.get_pose(q_bc, p_bc)
         # P = inv(cam_j) * cam_i
@@ -648,8 +648,8 @@ class SlidingWindowTracker:
         if n < 20:
             return False
 
-        q_bc = asnp(self.calib.ext.q_bc)
-        p_bc = asnp(self.calib.ext.p_bc)
+        q_bc = self.calib.q_bc_h
+        p_bc = self.calib.p_bc_h
         qc, pc = curr.get_pose(q_bc, p_bc)
         Rcw = q_to_R(qconj(qc))
         tcw = -qrot(qconj(qc), pc)
@@ -713,9 +713,10 @@ class SlidingWindowTracker:
         ft_map = self.feature_tracking_map
         old_frame = None
         if ft_map is not None:
-            idx = ft_map.frame_index_by_id(curr.id)
-            if idx is not None:
-                old_frame = ft_map.get_frame(idx)
+            with ft_map.lock:
+                idx = ft_map.frame_index_by_id(curr.id)
+                if idx is not None:
+                    old_frame = ft_map.get_frame(idx)
 
         Km = self.calib.K
         outlier_cnts = np.zeros(curr.keypoint_num, int)

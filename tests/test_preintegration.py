@@ -162,3 +162,42 @@ def test_predict_gravity(rng):
     np.testing.assert_allclose(
         np.asarray(p1), np.asarray(p0) + np.asarray(v0) * T + 0.5 * a_world * T * T, atol=1e-10
     )
+
+
+def test_host_mean_matches_scan(rng):
+    """ops/preintegration_np (host mean-only path used by the per-frame
+    predict/propagate hot path) must match the jitted scan's mean fields and
+    predict() exactly."""
+    from rd_vio_tpu.ops import preintegration_np as pre_np
+
+    n = 37
+    dts = np.abs(rng.normal(0.005, 0.001, n))
+    ws = rng.normal(0, 0.8, (n, 3))
+    accs = rng.normal(0, 2.0, (n, 3)) + [0, 0, 9.8]
+    bg = rng.normal(0, 0.01, 3)
+    ba = rng.normal(0, 0.05, 3)
+    covs = [jnp.eye(3) * 1e-6] * 4
+
+    # pad with zeros (exact no-op in both implementations)
+    dts_p = np.concatenate([dts, np.zeros(11)])
+    ws_p = np.concatenate([ws, np.zeros((11, 3))])
+    accs_p = np.concatenate([accs, np.zeros((11, 3))])
+
+    d = pre.integrate(jnp.asarray(dts_p), jnp.asarray(ws_p), jnp.asarray(accs_p),
+                      jnp.asarray(bg), jnp.asarray(ba), *covs)
+    t_h, q_h, p_h, v_h = pre_np.integrate_mean(dts_p, ws_p, accs_p, bg, ba)
+    np.testing.assert_allclose(t_h, float(d.t), atol=1e-14)
+    np.testing.assert_allclose(q_h, np.asarray(d.q), atol=1e-12)
+    np.testing.assert_allclose(p_h, np.asarray(d.p), atol=1e-12)
+    np.testing.assert_allclose(v_h, np.asarray(d.v), atol=1e-12)
+
+    q0 = np.asarray([0.8, 0.1, -0.3, 0.5])
+    q0 = q0 / np.linalg.norm(q0)
+    p0 = np.array([1.0, -2.0, 0.5])
+    v0 = np.array([0.2, 0.1, -0.4])
+    qj, pj, vj, _, _ = pre.predict(d, jnp.asarray(q0), jnp.asarray(p0),
+                                   jnp.asarray(v0), jnp.asarray(bg), jnp.asarray(ba))
+    q2, p2, v2 = pre_np.predict_mean(t_h, q_h, p_h, v_h, q0, p0, v0)
+    np.testing.assert_allclose(q2, np.asarray(qj), atol=1e-12)
+    np.testing.assert_allclose(p2, np.asarray(pj), atol=1e-12)
+    np.testing.assert_allclose(v2, np.asarray(vj), atol=1e-12)
