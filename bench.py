@@ -42,7 +42,10 @@ def main():
     cfg.camera_intrinsic = seq.K_mat
     cfg.ransac_hypotheses = 128
     caps = builders.Caps(W=13, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
-    odo = Odometry(cfg, SyntheticBackend(seq), caps=caps)
+    # threaded two-stage pipeline (the reference's THREADING=ON default):
+    # feature tracking overlaps the optimizer; pass --sync for inline dispatch
+    threaded = "--sync" not in sys.argv
+    odo = Odometry(cfg, SyntheticBackend(seq), caps=caps, threaded=threaded)
 
     events = sorted(
         [(t, 1, i) for i, t in enumerate(seq.t_imu)]
@@ -70,10 +73,12 @@ def main():
                     frames_at_start = n_frames
                 frames_tracked += 1
                 ls = odo.handler.get_latest_state()
-                if ls is not None:
+                if ls is not None and (not est_t or ls[0] != est_t[-1]):
                     est_t.append(ls[0])
                     est_p.append(ls[2])
+    odo.join()  # drain both pipeline stages (no-op in --sync mode)
     t_end = time.perf_counter()
+    odo.close()
 
     if t_track_start is None or frames_tracked < 10:
         print(json.dumps({"metric": "vio_frames_per_s_per_chip", "value": 0.0,

@@ -230,38 +230,33 @@ class FeatureTracker:
         order[:n] = np.argsort(-lengths, kind="stable")
         order[n:] = np.arange(n, cap)
 
-        b1 = np.zeros((cap, 3))
-        b2 = np.tile([0.0, 0.0, 1.0], (cap, 1))
+        b1 = np.zeros((cap, 3), np.float32)
+        b2 = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (cap, 1))
         val = np.zeros(cap, bool)
-        npix = np.zeros((cap, 2))
+        npix = np.zeros((cap, 2), np.float32)
         b1[:n] = last.bearings[:n]
         b2[:n] = next_bearings
         val[:n] = status
         npix[:n] = next_pix_raw
 
-        dts, ws, accs = builders.pad_imu(
-            (frame.imu_dt, frame.imu_w, frame.imu_a), self.caps.IMU
-        )
         W_img, H_img = self.config.camera_resolution
         from rd_vio_tpu.ops.frontend_step import ft_step
 
-        out = fetch(ft_step(
-            jnp.asarray(dts), jnp.asarray(ws), jnp.asarray(accs),
-            jnp.asarray(last.q), jnp.asarray(last.p), jnp.asarray(last.v),
-            jnp.asarray(last.bg), jnp.asarray(last.ba),
-            self.calib.cov_w, self.calib.cov_a, self.calib.cov_bg, self.calib.cov_ba,
+        # device mask program (f32) overlaps with the host state prediction
+        pending = ft_step(
             jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
             jnp.asarray(npix), jnp.asarray(order), jnp.asarray(trash),
             self._next_key(),
-            float(np.radians(cfg.rotation_ransac_threshold)),
+            np.float32(np.radians(cfg.rotation_ransac_threshold)),
             num_hypotheses=cfg.ransac_hypotheses,
             min_dist=float(cfg.feature_tracker_min_keypoint_distance),
             width=float(W_img), height=float(H_img),
-        ))
+        )
 
-        # predicted state (reference predict path)
-        frame.q, frame.p, frame.v = out["q"], out["p"], out["v"]
-        frame.bg, frame.ba = last.bg.copy(), last.ba.copy()
+        # predicted state (reference predict path) — host NumPy, mean-only
+        builders.predict_frame(last, frame, self.calib, self.caps.IMU)
+
+        out = fetch(pending)
 
         # pure-rotation detector (reference frame.cpp:115-131)
         if float(out["misalign"]) < cfg.rotation_misalignment_threshold:
@@ -279,12 +274,12 @@ class FeatureTracker:
         """Integrate the frame's gyro samples into a delta rotation quat."""
         if len(frame.imu_dt) == 0:
             return None
-        from scipy.spatial.transform import Rotation
+        from rd_vio_tpu.ops import preintegration_np as pre_np
 
-        q = np.array([0.0, 0.0, 0.0, 1.0])  # xyzw
-        for dt, w in zip(frame.imu_dt, frame.imu_w):
-            q = (Rotation.from_quat(q) * Rotation.from_rotvec(w * dt)).as_quat()
-        return np.array([q[3], q[0], q[1], q[2]])
+        _, dq, _, _ = pre_np.integrate_mean(
+            frame.imu_dt, frame.imu_w, frame.imu_a, np.zeros(3), np.zeros(3)
+        )
+        return dq
 
     def _detect_keypoints(self, frame: Frame):
         cfg = self.config

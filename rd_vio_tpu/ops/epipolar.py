@@ -42,11 +42,23 @@ def solve_essential_8pt(p1, p2):
     w, v = jnp.linalg.eigh(M)
     e = v[..., :, 0]
     E = e.reshape(e.shape[:-1] + (3, 3))
-    # project to essential manifold: singular values (s, s, 0)
-    U, S, Vt = jnp.linalg.svd(E)
-    s = 0.5 * (S[..., 0] + S[..., 1])
-    S_ess = jnp.zeros_like(S).at[..., 0].set(s).at[..., 1].set(s)
-    return U @ (S_ess[..., :, None] * Vt)
+    # Project to the essential manifold (singular values (s, s, 0)) via eigh
+    # of E^T E instead of SVD: sigma_i = sqrt(eigval_i), u_i = E v_i / sigma_i.
+    # Equivalent to the SVD projection up to sign (E and -E are the same
+    # epipolar constraint); XLA:TPU's batched f32 SVD miscompiles when fused
+    # with upstream ops, and eigh is faster.
+    lam, V = jnp.linalg.eigh(jnp.swapaxes(E, -1, -2) @ E)  # ascending
+    v1 = V[..., :, 2]
+    v2 = V[..., :, 1]
+    s1 = jnp.sqrt(jnp.maximum(lam[..., 2], 0.0))
+    s2 = jnp.sqrt(jnp.maximum(lam[..., 1], 0.0))
+    eps = jnp.asarray(1e-20, E.dtype)
+    u1 = jnp.einsum("...ij,...j->...i", E, v1) / jnp.maximum(s1, eps)[..., None]
+    u2 = jnp.einsum("...ij,...j->...i", E, v2) / jnp.maximum(s2, eps)[..., None]
+    s = 0.5 * (s1 + s2)
+    return s[..., None, None] * (
+        u1[..., :, None] * v1[..., None, :] + u2[..., :, None] * v2[..., None, :]
+    )
 
 
 def decompose_essential(E):

@@ -1,17 +1,22 @@
 """Fused per-frame frontend device program.
 
 One jitted call per camera frame covering everything the feature tracker needs
-from the device (reference flow: frame.cpp:74-172 + preintegration/predict):
+from the device (reference flow: frame.cpp:74-172):
 
-  1. preintegrate the frame's IMU interval + gravity-aware state prediction,
-  2. essential-RANSAC match mask,
-  3. 2-pt rotation RANSAC + 70th-percentile misalignment (pure-rotation
+  1. essential-RANSAC match mask,
+  2. 2-pt rotation RANSAC + 70th-percentile misalignment (pure-rotation
      detector),
-  4. track-length-priority Poisson-disk re-filter,
+  3. track-length-priority Poisson-disk re-filter,
 
-returning a single pytree so the host pays ONE dispatch + ONE fetch per frame
-(on tunneled TPU deployments each host<->device interaction costs ~30 ms — the
-fusion is the difference between ~1 fps and tens of fps).
+returning a single pytree so the host pays ONE dispatch + ONE fetch per frame.
+State prediction (preintegrate + gravity propagation) happens host-side in
+`ops/preintegration_np.py` — it is a ~10-sample mean-only loop, and keeping it
+off the device removes a sequential 64-step f64 scan from this program.
+
+All math here runs in float32: the RANSAC inlier thresholds are loose
+(chi-square px bounds / radian misalignment bounds), so f32 residuals decide
+the same masks while running ~5x faster than f64 on TPUs without native
+double-precision units (v5e/v6e emulate f64).
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from rd_vio_tpu.ops import poisson_disk, preintegration as pre, ransac
+from rd_vio_tpu.ops import poisson_disk, ransac
 
 
 @functools.partial(
@@ -29,11 +34,6 @@ from rd_vio_tpu.ops import poisson_disk, preintegration as pre, ransac
     static_argnames=("num_hypotheses", "min_dist", "width", "height"),
 )
 def ft_step(
-    # imu interval (padded)
-    dts, ws, accs,
-    # previous frame state
-    q0, p0, v0, bg0, ba0,
-    cov_w, cov_a, cov_bg, cov_ba,
     # matches (KP_CAP padded): bearings in prev/next frame + validity
     b1, b2, valid,
     next_pix,  # (KP, 2) tracked pixel positions
@@ -46,12 +46,13 @@ def ft_step(
     width: float,
     height: float,
 ):
-    """Returns dict with predicted state, final keep mask, and misalignment."""
-    # --- 1. preintegrate + predict -------------------------------------
-    delta = pre.integrate(dts, ws, accs, bg0, ba0, cov_w, cov_a, cov_bg, cov_ba)
-    q1, p1n, v1, _, _ = pre.predict(delta, q0, p0, v0, bg0, ba0)
+    """Returns dict with final keep mask and rotation misalignment."""
+    f32 = jnp.float32
+    b1 = b1.astype(f32)
+    b2 = b2.astype(f32)
+    next_pix = next_pix.astype(f32)
 
-    # --- 2. essential RANSAC mask (threshold 1.0 — reference frame.cpp:108) --
+    # --- 1. essential RANSAC mask (threshold 1.0 — reference frame.cpp:108) --
     k1, k2 = jax.random.split(key)
     pn1 = b1[:, :2] / b1[:, 2:]
     pn2 = b2[:, :2] / b2[:, 2:]
@@ -60,11 +61,11 @@ def ft_step(
     )
     status = valid & res_e.inlier_mask
 
-    # --- 3. rotation RANSAC + misalignment percentile ------------------
+    # --- 2. rotation RANSAC + misalignment percentile ------------------
     res_r = ransac.ransac_rotation(
         k2, b1, b2, valid, threshold=rot_thresh, num_hypotheses=num_hypotheses
     )
-    Rb1 = jnp.einsum("ij,nj->ni", res_r.model, b1)
+    Rb1 = jnp.einsum("ij,nj->ni", res_r.model.astype(f32), b1)
     ang = jnp.degrees(jnp.arccos(jnp.clip(jnp.sum(Rb1 * b2, axis=-1), -1.0, 1.0)))
     rmask = res_r.inlier_mask & valid
     n_in = jnp.sum(rmask)
@@ -72,7 +73,7 @@ def ft_step(
     idx70 = jnp.clip(n_in * 7 // 10, 0, ang.shape[0] - 1)
     misalign = jnp.where(n_in > 0, ang_sorted[idx70], 0.0)
 
-    # --- 4. Poisson re-filter by track-length priority -----------------
+    # --- 3. Poisson re-filter by track-length priority -----------------
     pd_val = status[order] & ~trash[order]
     acc = poisson_disk.poisson_disk_filter(
         next_pix[order], pd_val, min_distance=min_dist, width=width, height=height
@@ -81,7 +82,6 @@ def ft_step(
     final = status & keep & ~trash
 
     return {
-        "q": q1, "p": p1n, "v": v1,
         "mask": final,
         "misalign": misalign,
     }
