@@ -67,11 +67,13 @@ def main():
                 print(f"[bench] frame {n_frames} state {odo.state()} "
                       f"t={time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
             if odo.state() == 1:
-                if t_track_start is None:
-                    # exclude initialization + compile warmup from throughput
-                    t_track_start = time.perf_counter()
-                    frames_at_start = n_frames
                 frames_tracked += 1
+                # exclude initialization + jit compile warmup from throughput:
+                # the first tracked frames still trigger cold compiles of the
+                # subwindow/window/marginalization programs
+                if t_track_start is None and frames_tracked == 16:
+                    t_track_start = time.perf_counter()
+                    frames_at_timing_start = frames_tracked
                 ls = odo.handler.get_latest_state()
                 if ls is not None and (not est_t or ls[0] != est_t[-1]):
                     est_t.append(ls[0])
@@ -80,15 +82,14 @@ def main():
     t_end = time.perf_counter()
     odo.close()
 
-    if t_track_start is None or frames_tracked < 10:
+    if t_track_start is None or frames_tracked < 20:
         print(json.dumps({"metric": "vio_frames_per_s_per_chip", "value": 0.0,
                           "unit": "frames/s", "vs_baseline": 0.0}))
         print("[bench] FAILED to reach tracking", file=sys.stderr)
         return
 
-    # throughput over the tracked portion (excluding the first tracked frame's
-    # compile-heavy step): use frames after start marker
-    fps = (frames_tracked - 1) / max(t_end - t_track_start, 1e-9)
+    # throughput over the steady-state tracked portion
+    fps = (frames_tracked - frames_at_timing_start) / max(t_end - t_track_start, 1e-9)
 
     est_p = np.asarray(est_p)
     gt_by_t = {round(tt, 6): p for tt, p in zip(seq.t_frame, seq.p_wb)}
@@ -98,6 +99,12 @@ def main():
     print(f"[bench] total wall {t_end - t0:.1f}s, frames {n_frames}, "
           f"tracked {frames_tracked}, fps {fps:.2f}, ATE {ate:.4f} m",
           file=sys.stderr)
+    from rd_vio_tpu.utils.metrics import GLOBAL_TIMER
+
+    for stage, st in sorted(GLOBAL_TIMER.stats().items()):
+        print(f"[bench] stage {stage}: mean {st['mean_ms']:.1f} ms "
+              f"p50 {st['p50_ms']:.1f} p90 {st['p90_ms']:.1f} (n={st['n']})",
+              file=sys.stderr)
 
     # reference baseline: the reference example paces ingest at ~33 fps
     # (BASELINE.md: test_euroc.cpp sleeps 30 ms/frame); target is >= 5x.

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -46,6 +46,17 @@ class Caps:
     TRI_VIEWS: int = 24  # views per track in batched triangulation
 
 
+class CalibTree(NamedTuple):
+    """Device-side calibration constants as a jit-passable pytree."""
+
+    ext: F.Extrinsics
+    sqrt_inv_cov2: jnp.ndarray
+    cov_w: jnp.ndarray
+    cov_a: jnp.ndarray
+    cov_bg: jnp.ndarray
+    cov_ba: jnp.ndarray
+
+
 @dataclasses.dataclass
 class CalibArrays:
     """Config-derived device constants (+ host mirrors of the extrinsics:
@@ -69,6 +80,14 @@ class CalibArrays:
             self.q_bc_h, self.p_bc_h, self.q_bi_h, self.p_bi_h = fetch(
                 (self.ext.q_bc, self.ext.p_bc, self.ext.q_bi, self.ext.p_bi)
             )
+
+    @property
+    def tree(self) -> CalibTree:
+        return CalibTree(
+            ext=self.ext, sqrt_inv_cov2=self.sqrt_inv_cov2,
+            cov_w=self.cov_w, cov_a=self.cov_a,
+            cov_bg=self.cov_bg, cov_ba=self.cov_ba,
+        )
 
     @staticmethod
     def from_config(cfg):
@@ -227,13 +246,74 @@ def _cast_floats(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
-def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
-    """Returns (states, inv_depth, BAProblem, lm_slot_by_track_id).
+class ProblemArrays(NamedTuple):
+    """Host-assembled (NumPy) fixed-shape problem data: everything a solve
+    needs except preintegration results (integrated on-device in
+    `_finalize_problem`) and the marginalization prior (already device-
+    resident). One pytree => ONE host->device transfer per solve instead of a
+    device_put per field — on tunneled TPU deployments each transfer is a
+    ~30 ms round trip, so this is the difference between ~1 and ~15 fps."""
 
-    dtype: optional float dtype for the solve (e.g. jnp.float32 for the
-    prior-free per-frame solves — TPU-native f32 linalg is much faster than
-    emulated f64; the marginalization-prior solves stay f64 for conditioning,
-    see SURVEY.md §7)."""
+    # window states (W, ...)
+    q: np.ndarray
+    p: np.ndarray
+    v: np.ndarray
+    bg: np.ndarray
+    ba: np.ndarray
+    opt_pose: np.ndarray
+    opt_motion: np.ndarray
+    # landmarks (L,)
+    invd: np.ndarray
+    opt_lm: np.ndarray
+    # reprojection factors (O, ...)
+    o_tgt: np.ndarray
+    o_ref: np.ndarray
+    o_lm: np.ndarray
+    o_zr: np.ndarray
+    o_zt: np.ndarray
+    o_val: np.ndarray
+    # imu factors (Fi, ...) with raw padded samples (Fi, cap, ...)
+    fi_i: np.ndarray
+    fi_j: np.ndarray
+    fi_val: np.ndarray
+    fi_bg0: np.ndarray
+    fi_ba0: np.ndarray
+    fi_dts: np.ndarray
+    fi_ws: np.ndarray
+    fi_accs: np.ndarray
+    # fixed-anchor reprojection priors (P, ...)
+    pp_tgt: np.ndarray
+    pp_qref: np.ndarray
+    pp_pref: np.ndarray
+    pp_invd: np.ndarray
+    pp_zr: np.ndarray
+    pp_zt: np.ndarray
+    pp_val: np.ndarray
+    # fixed-i imu priors (Fp, ...) with raw padded samples
+    ip_j: np.ndarray
+    ip_qi: np.ndarray
+    ip_pi: np.ndarray
+    ip_vi: np.ndarray
+    ip_bgi: np.ndarray
+    ip_bai: np.ndarray
+    ip_val: np.ndarray
+    ip_dts: np.ndarray
+    ip_ws: np.ndarray
+    ip_accs: np.ndarray
+    # rotation priors (R, ...)
+    r_tgt: np.ndarray
+    r_qref: np.ndarray
+    r_zr: np.ndarray
+    r_zt: np.ndarray
+    r_val: np.ndarray
+
+
+def _assemble(spec: BASpec, caps: Caps):
+    """Host-side (pure NumPy) assembly of a BASpec into fixed-shape arrays.
+
+    Returns (ProblemArrays, lm_slot_by_track_id, use_kf_cap). No device work
+    happens here; `_finalize_problem` (jitted by the callers) turns the arrays
+    into a BAProblem on-device, integrating the raw IMU samples there."""
     W, L, O, Fi, R = caps.W, caps.L, caps.O, caps.Fi, caps.R
     if len(spec.frames) > W:
         # defensive: drop trailing (fixed-anchor) frames; factors referencing
@@ -245,7 +325,13 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
     n = len(spec.frames)
     slot = {f.id: i for i, f in enumerate(spec.frames)}
 
-    states = _frame_states(spec.frames, W)
+    q = np.tile([1.0, 0, 0, 0], (W, 1))
+    p = np.zeros((W, 3))
+    v = np.zeros((W, 3))
+    bg = np.zeros((W, 3))
+    ba_ = np.zeros((W, 3))
+    for i, f in enumerate(spec.frames):
+        q[i], p[i], v[i], bg[i], ba_[i] = f.q, f.p, f.v, f.bg, f.ba
 
     opt_pose = np.zeros(W, bool)
     opt_motion = np.zeros(W, bool)
@@ -299,21 +385,16 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
         o_val[oi] = True
         oi += 1
 
-    reproj = F.ReprojFactors(
-        tgt=jnp.asarray(o_tgt), ref=jnp.asarray(o_ref), lm=jnp.asarray(o_lm),
-        z_ref=jnp.asarray(o_zr), z_tgt=jnp.asarray(o_zt), valid=jnp.asarray(o_val),
-    )
-
-    # imu factors (batched integration; kf-cap factors integrated at kf cap)
+    # imu factors: raw padded samples; integration happens on-device in
+    # _finalize_problem (kf-cap factors padded at the keyframe-chain cap)
     fi_i = np.zeros(Fi, np.int32)
     fi_j = np.zeros(Fi, np.int32)
     fi_val = np.zeros(Fi, bool)
     imu_entries = [e for e in spec.imu if e[0].id in slot and e[1].id in slot][:Fi]
-    # pad the factor list to Fi BEFORE integrating so the jitted batch
-    # integrate always sees the same (Fi, cap) shapes (stable executable)
     cap = caps.IMU_KF if any(e[5] for e in imu_entries) else caps.IMU
-    empty = (np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)))
-    imu_list = [e[2] for e in imu_entries] + [empty] * (Fi - len(imu_entries))
+    fi_dts = np.zeros((Fi, cap))
+    fi_ws = np.zeros((Fi, cap, 3))
+    fi_accs = np.zeros((Fi, cap, 3))
     bg0 = np.zeros((Fi, 3))
     ba0 = np.zeros((Fi, 3))
     for k, e in enumerate(imu_entries):
@@ -322,20 +403,10 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
         fi_val[k] = True
         bg0[k] = e[3]
         ba0[k] = e[4]
-    deltas, sics = integrate_frames(imu_list, bg0, ba0, calib, cap)
-    # padded slots have zero covariance -> replace their whitening with I
-    sics = jnp.where(jnp.asarray(fi_val)[:, None, None], sics, jnp.eye(15)[None])
-
-    imu = F.ImuFactors(
-        i=jnp.asarray(fi_i), j=jnp.asarray(fi_j), delta=deltas,
-        sqrt_inv_cov=sics, bg0=jnp.asarray(bg0), ba0=jnp.asarray(ba0),
-        valid=jnp.asarray(fi_val),
-    )
+        fi_dts[k], fi_ws[k], fi_accs[k] = pad_imu(e[2], cap)
 
     # fixed-anchor reprojection priors
     Pcap = caps.P
-    q_bc_h = calib.q_bc_h
-    p_bc_h = calib.p_bc_h
     pp_tgt = np.zeros(Pcap, np.int32)
     pp_qref = np.tile([1.0, 0, 0, 0], (Pcap, 1))
     pp_pref = np.zeros((Pcap, 3))
@@ -359,14 +430,8 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
         pp_zt[pi_] = tgt.bearings[kt]
         pp_val[pi_] = True
         pi_ += 1
-    reproj_prior = F.ReprojPriorFactors(
-        tgt=jnp.asarray(pp_tgt), q_ref=jnp.asarray(pp_qref),
-        p_ref=jnp.asarray(pp_pref), inv_depth=jnp.asarray(pp_invd),
-        z_ref=jnp.asarray(pp_zr), z_tgt=jnp.asarray(pp_zt),
-        valid=jnp.asarray(pp_val),
-    )
 
-    # fixed-i imu priors
+    # fixed-i imu priors (raw padded samples)
     Fp = caps.Fp
     ip_j = np.zeros(Fp, np.int32)
     ip_qi = np.tile([1.0, 0, 0, 0], (Fp, 1))
@@ -375,11 +440,11 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
     ip_bgi = np.zeros((Fp, 3))
     ip_bai = np.zeros((Fp, 3))
     ip_val = np.zeros(Fp, bool)
+    ip_dts = np.zeros((Fp, caps.IMU))
+    ip_ws = np.zeros((Fp, caps.IMU, 3))
+    ip_accs = np.zeros((Fp, caps.IMU, 3))
     ip_entries = [e for e in spec.imu_prior if e[1].id in slot][:Fp]
-    ip_imu_list = [e[2] for e in ip_entries] + [
-        (np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)))
-    ] * (Fp - len(ip_entries))
-    for k, (fi_frame, fj_frame, _) in enumerate(ip_entries):
+    for k, (fi_frame, fj_frame, imu_data) in enumerate(ip_entries):
         ip_j[k] = slot[fj_frame.id]
         ip_qi[k] = fi_frame.q
         ip_pi[k] = fi_frame.p
@@ -387,17 +452,7 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
         ip_bgi[k] = fi_frame.bg
         ip_bai[k] = fi_frame.ba
         ip_val[k] = True
-    ip_deltas, ip_sics = integrate_frames(
-        ip_imu_list, ip_bgi, ip_bai, calib, caps.IMU
-    )
-    ip_sics = jnp.where(
-        jnp.asarray(ip_val)[:, None, None], ip_sics, jnp.eye(15)[None]
-    )
-    imu_prior = F.ImuPriorFactors(
-        j=jnp.asarray(ip_j), q_i=jnp.asarray(ip_qi), p_i=jnp.asarray(ip_pi),
-        v_i=jnp.asarray(ip_vi), bg_i=jnp.asarray(ip_bgi), ba_i=jnp.asarray(ip_bai),
-        delta=ip_deltas, sqrt_inv_cov=ip_sics, valid=jnp.asarray(ip_val),
-    )
+        ip_dts[k], ip_ws[k], ip_accs[k] = pad_imu(imu_data, caps.IMU)
 
     # rotation priors
     r_tgt = np.zeros(R, np.int32)
@@ -419,31 +474,237 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
         r_zt[ri] = tgt.bearings[kt]
         r_val[ri] = True
         ri += 1
-    rot = F.RotFactors(
-        tgt=jnp.asarray(r_tgt), q_ref=jnp.asarray(r_qref),
-        z_ref=jnp.asarray(r_zr), z_tgt=jnp.asarray(r_zt), valid=jnp.asarray(r_val),
+
+    pa = ProblemArrays(
+        q=q, p=p, v=v, bg=bg, ba=ba_,
+        opt_pose=opt_pose, opt_motion=opt_motion,
+        invd=invd, opt_lm=opt_lm,
+        o_tgt=o_tgt, o_ref=o_ref, o_lm=o_lm, o_zr=o_zr, o_zt=o_zt, o_val=o_val,
+        fi_i=fi_i, fi_j=fi_j, fi_val=fi_val, fi_bg0=bg0, fi_ba0=ba0,
+        fi_dts=fi_dts, fi_ws=fi_ws, fi_accs=fi_accs,
+        pp_tgt=pp_tgt, pp_qref=pp_qref, pp_pref=pp_pref, pp_invd=pp_invd,
+        pp_zr=pp_zr, pp_zt=pp_zt, pp_val=pp_val,
+        ip_j=ip_j, ip_qi=ip_qi, ip_pi=ip_pi, ip_vi=ip_vi, ip_bgi=ip_bgi,
+        ip_bai=ip_bai, ip_val=ip_val, ip_dts=ip_dts, ip_ws=ip_ws, ip_accs=ip_accs,
+        r_tgt=r_tgt, r_qref=r_qref, r_zr=r_zr, r_zt=r_zt, r_val=r_val,
     )
+    return pa, lm_slot
 
-    if spec.prior is not None:
-        prior = spec.prior
-        prior_valid = jnp.asarray(True)
-    else:
-        prior = F.initial_prior(W, states, gauge=0.0)
+
+def _finalize_problem(pa: ProblemArrays, calib: CalibTree, prior, prior_valid):
+    """Pure-jnp: ProblemArrays -> (states, inv_depth, BAProblem). Preintegrates
+    the raw IMU samples on-device (always in f64 — covariance whitening needs
+    the precision — then casts the factor data to the solve dtype).
+
+    The solve dtype is pa's float dtype (cast host-side by the callers)."""
+    dtype = jnp.asarray(pa.q).dtype
+    f64 = jnp.float64
+
+    def integrate_one(dt, w, a, bg_, ba__):
+        d = pre.integrate(
+            dt.astype(f64), w.astype(f64), a.astype(f64),
+            bg_.astype(f64), ba__.astype(f64),
+            calib.cov_w, calib.cov_a, calib.cov_bg, calib.cov_ba,
+        )
+        sic = pre.sqrt_inv_cov(d.cov + 1e-14 * jnp.eye(15))
+        return d, sic
+
+    deltas, sics = jax.vmap(integrate_one)(
+        pa.fi_dts, pa.fi_ws, pa.fi_accs, pa.fi_bg0, pa.fi_ba0
+    )
+    sics = jnp.where(jnp.asarray(pa.fi_val)[:, None, None], sics, jnp.eye(15)[None])
+    ip_deltas, ip_sics = jax.vmap(integrate_one)(
+        pa.ip_dts, pa.ip_ws, pa.ip_accs, pa.ip_bgi, pa.ip_bai
+    )
+    ip_sics = jnp.where(
+        jnp.asarray(pa.ip_val)[:, None, None], ip_sics, jnp.eye(15)[None]
+    )
+    if dtype != f64:
+        deltas = _cast_floats(deltas, dtype)
+        sics = sics.astype(dtype)
+        ip_deltas = _cast_floats(ip_deltas, dtype)
+        ip_sics = ip_sics.astype(dtype)
+
+    states = FrameStates(
+        q=jnp.asarray(pa.q), p=jnp.asarray(pa.p), v=jnp.asarray(pa.v),
+        bg=jnp.asarray(pa.bg), ba=jnp.asarray(pa.ba),
+    )
+    reproj = F.ReprojFactors(
+        tgt=jnp.asarray(pa.o_tgt), ref=jnp.asarray(pa.o_ref),
+        lm=jnp.asarray(pa.o_lm), z_ref=jnp.asarray(pa.o_zr),
+        z_tgt=jnp.asarray(pa.o_zt), valid=jnp.asarray(pa.o_val),
+    )
+    imu = F.ImuFactors(
+        i=jnp.asarray(pa.fi_i), j=jnp.asarray(pa.fi_j), delta=deltas,
+        sqrt_inv_cov=sics, bg0=jnp.asarray(pa.fi_bg0).astype(dtype),
+        ba0=jnp.asarray(pa.fi_ba0).astype(dtype), valid=jnp.asarray(pa.fi_val),
+    )
+    reproj_prior = F.ReprojPriorFactors(
+        tgt=jnp.asarray(pa.pp_tgt), q_ref=jnp.asarray(pa.pp_qref),
+        p_ref=jnp.asarray(pa.pp_pref), inv_depth=jnp.asarray(pa.pp_invd),
+        z_ref=jnp.asarray(pa.pp_zr), z_tgt=jnp.asarray(pa.pp_zt),
+        valid=jnp.asarray(pa.pp_val),
+    )
+    imu_prior = F.ImuPriorFactors(
+        j=jnp.asarray(pa.ip_j), q_i=jnp.asarray(pa.ip_qi),
+        p_i=jnp.asarray(pa.ip_pi), v_i=jnp.asarray(pa.ip_vi),
+        bg_i=jnp.asarray(pa.ip_bgi), ba_i=jnp.asarray(pa.ip_bai),
+        delta=ip_deltas, sqrt_inv_cov=ip_sics, valid=jnp.asarray(pa.ip_val),
+    )
+    rot = F.RotFactors(
+        tgt=jnp.asarray(pa.r_tgt), q_ref=jnp.asarray(pa.r_qref),
+        z_ref=jnp.asarray(pa.r_zr), z_tgt=jnp.asarray(pa.r_zt),
+        valid=jnp.asarray(pa.r_val),
+    )
+    if prior is None:
+        W = pa.q.shape[0]
+        prior = F.initial_prior(W, states, gauge=0.0, dtype=dtype)
         prior_valid = jnp.asarray(False)
-
+    ext = calib.ext
+    sic2 = calib.sqrt_inv_cov2
+    if dtype != f64:
+        prior = _cast_floats(prior, dtype)
+        ext = _cast_floats(ext, dtype)
+        sic2 = sic2.astype(dtype)
     pb = ba.BAProblem(
         reproj=reproj, reproj_prior=reproj_prior, imu=imu, imu_prior=imu_prior,
-        rot=rot, prior=prior, prior_valid=prior_valid,
-        ext=calib.ext, sqrt_inv_cov2=calib.sqrt_inv_cov2,
-        opt_pose=jnp.asarray(opt_pose), opt_motion=jnp.asarray(opt_motion),
-        opt_lm=jnp.asarray(opt_lm),
+        rot=rot, prior=prior, prior_valid=jnp.asarray(prior_valid),
+        ext=ext, sqrt_inv_cov2=sic2,
+        opt_pose=jnp.asarray(pa.opt_pose), opt_motion=jnp.asarray(pa.opt_motion),
+        opt_lm=jnp.asarray(pa.opt_lm),
     )
-    invd_j = jnp.asarray(invd)
-    if dtype is not None:
-        states = _cast_floats(states, dtype)
-        invd_j = invd_j.astype(dtype)
-        pb = _cast_floats(pb, dtype)
-    return states, invd_j, pb, lm_slot
+    return states, jnp.asarray(pa.invd), pb
+
+
+def _cast_pa(pa: ProblemArrays, dtype):
+    """Cast ProblemArrays floats host-side (cheap NumPy) so the jitted
+    finalize/solve programs key on the solve dtype."""
+    if dtype is None or jnp.dtype(dtype) == jnp.float64:
+        return pa
+    npdt = np.dtype(dtype)
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(npdt) if np.issubdtype(a.dtype, np.floating) else a, pa
+    )
+
+
+def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
+    """Returns (states, inv_depth, BAProblem, lm_slot_by_track_id).
+
+    dtype: optional float dtype for the solve (e.g. jnp.float32 for the
+    prior-free per-frame solves — TPU-native f32 linalg is much faster than
+    emulated f64; the marginalization-prior solves stay f64 for conditioning,
+    see SURVEY.md §7)."""
+    pa, lm_slot = _assemble(spec, caps)
+    pa = _cast_pa(pa, dtype)
+    prior = spec.prior
+    states, invd, pb = _finalize_jit(
+        pa, calib.tree, prior, prior is not None
+    )
+    return states, invd, pb, lm_slot
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _finalize_nop(pa, calib, prior, prior_valid):
+    return _finalize_problem(pa, calib, prior, prior_valid)
+
+
+def _finalize_jit(pa, calib, prior, prior_valid):
+    # two jit entries keyed on prior presence (None is not a pytree leaf type
+    # we want traced); both return device-resident (states, invd, pb)
+    if prior is None:
+        return _finalize_noprior_jit(pa, calib)
+    return _finalize_nop(pa, calib, prior, prior_valid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _finalize_noprior_jit(pa, calib):
+    return _finalize_problem(pa, calib, None, False)
+
+
+# ---------------------------------------------------------------------------
+# fused single-dispatch solves (the per-frame hot path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _solve_noprior_jit(pa, calib, max_iterations):
+    states, invd, pb = _finalize_problem(pa, calib, None, False)
+    return ba.solve_ba(states, invd, pb, max_iterations=max_iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _solve_prior_jit(pa, calib, prior, max_iterations):
+    states, invd, pb = _finalize_problem(pa, calib, prior, True)
+    return ba.solve_ba(states, invd, pb, max_iterations=max_iterations)
+
+
+def solve_spec(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None,
+               max_iterations: int = 10) -> ba.BAResult:
+    """Assemble + integrate + solve in ONE device dispatch. Returns the
+    device-resident BAResult (callers fetch + apply via apply_result)."""
+    pa, lm_slot = _assemble(spec, caps)
+    pa = _cast_pa(pa, dtype)
+    if spec.prior is None:
+        res = _solve_noprior_jit(pa, calib.tree, max_iterations=max_iterations)
+    else:
+        res = _solve_prior_jit(
+            pa, calib.tree, spec.prior, max_iterations=max_iterations
+        )
+    return res, lm_slot
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _fused_localize_subwindow_jit(pa_loc, pa_sub, j_slot, calib, max_iterations):
+    """Per-frame localize solve chained into the subwindow refinement, all
+    on-device (reference track() :101-125 then :349-444 for the subframe
+    case). The localized new-frame state seeds the subwindow problem's last
+    slot; only the subwindow result returns to the host."""
+    s_loc, invd_loc, pb_loc = _finalize_problem(pa_loc, calib, None, False)
+    res_loc = ba.solve_ba(s_loc, invd_loc, pb_loc, max_iterations=max_iterations)
+
+    s_sub, invd_sub, pb_sub = _finalize_problem(pa_sub, calib, None, False)
+    sl = res_loc.states
+    s_sub = FrameStates(
+        q=s_sub.q.at[j_slot].set(sl.q[0]),
+        p=s_sub.p.at[j_slot].set(sl.p[0]),
+        v=s_sub.v.at[j_slot].set(sl.v[0]),
+        bg=s_sub.bg.at[j_slot].set(sl.bg[0]),
+        ba=s_sub.ba.at[j_slot].set(sl.ba[0]),
+    )
+    res_sub = ba.solve_ba(s_sub, invd_sub, pb_sub, max_iterations=max_iterations)
+    return res_sub
+
+
+def solve_localize_subwindow(
+    spec_loc: BASpec, spec_sub: BASpec, j_slot: int, calib: CalibArrays,
+    caps: Caps, dtype=None, max_iterations: int = 10,
+):
+    """Fused per-frame solve for the subframe path: ONE dispatch + ONE fetch
+    instead of two (integrate + solve + fetch) sequences. Returns
+    (BAResult of the subwindow solve, lm_slot of the subwindow problem)."""
+    pa_loc, _ = _assemble(spec_loc, caps)
+    pa_sub, lm_slot = _assemble(spec_sub, caps)
+    pa_loc = _cast_pa(pa_loc, dtype)
+    pa_sub = _cast_pa(pa_sub, dtype)
+    res = _fused_localize_subwindow_jit(
+        pa_loc, pa_sub, j_slot, calib.tree, max_iterations=max_iterations
+    )
+    return res, lm_slot
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _marginalize_jit(pa, calib, prior):
+    from rd_vio_tpu.estimation import marginalization
+
+    states, invd, pb = _finalize_problem(pa, calib, prior, True)
+    return marginalization.marginalize_frame0(states, invd, pb)
+
+
+def marginalize_spec(spec: BASpec, calib: CalibArrays, caps: Caps) -> F.PriorFactor:
+    """Assemble + integrate + marginalize slot 0 in ONE dispatch; the new
+    prior stays device-resident."""
+    pa, _ = _assemble(spec, caps)
+    return _marginalize_jit(pa, calib.tree, spec.prior)
 
 
 def apply_result(res: ba.BAResult, spec: BASpec, lm_slot: Dict[int, int]):

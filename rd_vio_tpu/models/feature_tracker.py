@@ -137,9 +137,12 @@ class FeatureTracker:
             last = self.map.get_frame(self.map.frame_num - 1) if self.map.frame_num else None
 
         if last is not None:
+            from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
+
             # fused device program: preintegrate+predict, RANSAC masks,
             # pure-rotation detector, Poisson re-filter — one call, one fetch
-            self._track_keypoints(last, frame)
+            with T.time("ft.track"):
+                self._track_keypoints(last, frame)
             self.latest_state = (frame.t, frame.q.copy(), frame.p.copy(),
                                  frame.v.copy(), frame.bg.copy(), frame.ba.copy())
 

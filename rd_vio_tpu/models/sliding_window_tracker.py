@@ -26,7 +26,7 @@ from rd_vio_tpu.utils.host import asnp, fetch
 import jax
 import jax.numpy as jnp
 
-from rd_vio_tpu.estimation import ba, factors as F, marginalization
+from rd_vio_tpu.estimation import factors as F
 from rd_vio_tpu.models import builders
 from rd_vio_tpu.models.map import (
     FT_KEYFRAME, FT_NO_TRANSLATION, Frame, Map, Track,
@@ -123,26 +123,64 @@ class SlidingWindowTracker:
             if self.judge_track_status():
                 self.update_track_status()
 
-        self.localize_newframe()
+        # the keyframe decision reads only tags and track counts — never the
+        # localized pose — so it can run BEFORE the localization solve. For
+        # the (common) subframe path this lets localize + subwindow refine run
+        # as ONE fused device program with a single dispatch + fetch
+        # (reference order :80-99 is localize -> manage -> refine; the solves
+        # see identical problems either way).
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
 
-        if self.manage_keyframe():
-            self.track_landmark()
-            self.refine_window()
-            self.slide_window()
+        if self._keyframe_decision():
+            with T.time("swt.localize"):
+                self.localize_newframe()
+            kf = self.manage_keyframe()
+            assert kf, "keyframe decision disagreed with manage_keyframe"
+            with T.time("swt.triangulate"):
+                self.track_landmark()
+            with T.time("swt.refine_window"):
+                self.refine_window()
+            with T.time("swt.marginalize"):
+                self.slide_window()
         else:
-            self.refine_subwindow()
+            keyframe_i = self.map.get_frame(self.map.frame_num - 2)
+            keyframe_i.subframes.append(self.map.detach_frame(self.map.frame_num - 1))
+            with T.time("swt.subwindow_fused"):
+                self.refine_subwindow(fused_localize=True)
         return True
 
     # ------------------------------------------------------------------
-    def localize_newframe(self):
-        """Per-frame PnP-style solve: preintegration prior + reprojection
+    def _keyframe_decision(self) -> bool:
+        """Pure-read mirror of manage_keyframe's branch outcomes
+        (reference :127-202): True iff the new frame triggers the keyframe
+        path (including the subframe-lift cases)."""
+        m = self.map
+        keyframe_i = m.get_frame(m.frame_num - 2)
+        newframe_j = m.get_frame(m.frame_num - 1)
+
+        if keyframe_i.subframes:
+            last_sub_R = keyframe_i.subframes[-1].tag(FT_NO_TRANSLATION)
+            new_R = newframe_j.tag(FT_NO_TRANSLATION)
+            if last_sub_R and not new_R:
+                return True  # [T]+[R..R] <- [T]: lift
+            if not last_sub_R:
+                if new_R:
+                    return True  # [T]+[T..T] <- [R]: lift + re-parent
+                if len(keyframe_i.subframes) >= self.config.sliding_window_subframe_size:
+                    return True
+
+        mapped = 0
+        for k in range(newframe_j.keypoint_num):
+            t = m.get_track(newframe_j, k)
+            if t is not None and t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
+                mapped += 1
+        return mapped < self.config.sliding_window_force_keyframe_landmarks
+
+    # ------------------------------------------------------------------
+    def _localize_spec(self, frame_i: Frame, frame_j: Frame) -> builders.BASpec:
+        """Per-frame PnP-style problem: preintegration prior + reprojection
         priors of static landmarks (reference :101-125)."""
         m = self.map
-        frame_i = m.get_frame(m.frame_num - 2)
-        if frame_i.subframes:
-            frame_i = frame_i.subframes[-1]
-        frame_j = m.get_frame(m.frame_num - 1)
-
         frames_by_id = {f.id: f for f in m.all_frames()}
         reproj_prior = []
         for k in range(frame_j.keypoint_num):
@@ -156,16 +194,25 @@ class SlidingWindowTracker:
         imu_prior = [
             (frame_i, frame_j, (frame_j.imu_dt, frame_j.imu_w, frame_j.imu_a))
         ]
-        spec = builders.BASpec(
+        return builders.BASpec(
             frames=[frame_j],
             fix_pose=[False], fix_motion=[False],
             opt_tracks=[], reproj=[], imu=[], rot=[],
             reproj_prior=reproj_prior, imu_prior=imu_prior,
         )
-        states, invd, pb, lm_slot = builders.build_problem(
-            spec, self.calib, self.caps_fast, dtype=self._fast_dtype
+
+    def localize_newframe(self):
+        """Standalone localization solve (keyframe path; reference :101-125)."""
+        m = self.map
+        frame_i = m.get_frame(m.frame_num - 2)
+        if frame_i.subframes:
+            frame_i = frame_i.subframes[-1]
+        frame_j = m.get_frame(m.frame_num - 1)
+        spec = self._localize_spec(frame_i, frame_j)
+        res, lm_slot = builders.solve_spec(
+            spec, self.calib, self.caps_fast, dtype=self._fast_dtype,
+            max_iterations=self.config.solver_iteration_limit,
         )
-        res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
         builders.apply_result(res, spec, lm_slot)
 
     # ------------------------------------------------------------------
@@ -292,9 +339,10 @@ class SlidingWindowTracker:
             fj.keyframe_imu = chain
             imu.append((fi, fj, chain, fi.bg.copy(), fi.ba.copy(), True))
 
-        states = builders._frame_states(frames, self.caps.W)
         if self.prior is None:
-            self.prior = F.initial_prior(self.caps.W, states)
+            self.prior = F.initial_prior(
+                self.caps.W, builders._frame_states(frames, self.caps.W)
+            )
 
         spec = builders.BASpec(
             frames=frames,
@@ -303,8 +351,8 @@ class SlidingWindowTracker:
             opt_tracks=[t for t in opt_tracks if t.tag(TT_TRIANGULATED)],
             reproj=reproj, imu=imu, rot=[], prior=self.prior,
         )
-        states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
         if self.dist_mesh is not None:
+            states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
             # landmark-sharded distributed Schur BA (parallel/dist_ba.py)
             from rd_vio_tpu.parallel import dist_ba
             from rd_vio_tpu.utils.host import fetch
@@ -327,8 +375,9 @@ class SlidingWindowTracker:
                 if t is not None:
                     t.inv_depth = float(invd_h[new_slot[old]])
         else:
-            res = ba.solve_ba(
-                states, invd, pb, max_iterations=self.config.solver_iteration_limit
+            res, lm_slot = builders.solve_spec(
+                spec, self.calib, self.caps,
+                max_iterations=self.config.solver_iteration_limit,
             )
             builders.apply_result(res, spec, lm_slot)
 
@@ -469,8 +518,9 @@ class SlidingWindowTracker:
             fix_motion=[False] * len(frames),
             opt_tracks=tracks, reproj=reproj, imu=imu, rot=[], prior=self.prior,
         )
-        states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
-        self.prior = marginalization.marginalize_frame0(states, invd, pb)
+        # fused assemble+integrate+marginalize: one dispatch, prior stays
+        # device-resident
+        self.prior = builders.marginalize_spec(spec, self.calib, self.caps)
 
         # re-anchor inverse depths of tracks losing their first frame
         for t in list(m.tracks.values()):
@@ -485,13 +535,25 @@ class SlidingWindowTracker:
         m.erase_frame(0)
 
     # ------------------------------------------------------------------
-    def refine_subwindow(self):
-        """Subframe-only refinement under the last keyframe (reference :349-444)."""
+    def refine_subwindow(self, fused_localize: bool = False):
+        """Subframe-only refinement under the last keyframe (reference :349-444).
+
+        With fused_localize=True (the per-frame subframe path), the new
+        subframe's localization solve (reference :101-125) is chained into
+        the subwindow solve as ONE device program — the localize spec is
+        captured before any chain compression so its IMU interval matches the
+        reference's (which localizes before refining)."""
         m = self.map
         frame = m.get_frame(m.frame_num - 1)
         if not frame.subframes:
             return
         frames_by_id = {f.id: f for f in m.all_frames()}
+
+        spec_loc = None
+        if fused_localize:
+            subs0 = frame.subframes
+            frame_i = subs0[-2] if len(subs0) >= 2 else frame
+            spec_loc = self._localize_spec(frame_i, subs0[-1])
 
         if frame.subframes[0].tag(FT_NO_TRANSLATION):
             # --- pure-rotation chain ---
@@ -547,11 +609,7 @@ class SlidingWindowTracker:
                 opt_tracks=[], reproj=[], imu=imu, rot=rot,
                 reproj_prior=reproj_prior, imu_prior=imu_prior,
             )
-            states, invd, pb, lm_slot = builders.build_problem(
-                spec, self.calib, self.caps_fast, dtype=self._fast_dtype
-            )
-            res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
-            builders.apply_result(res, spec, lm_slot)
+            self._solve_subwindow(spec, spec_loc, len(subs) - 1)
         else:
             # --- translating chain ---
             subs = frame.subframes
@@ -589,11 +647,23 @@ class SlidingWindowTracker:
                 opt_tracks=opt_tracks, reproj=reproj, imu=imu, rot=[],
                 reproj_prior=reproj_prior, imu_prior=imu_prior,
             )
-            states, invd, pb, lm_slot = builders.build_problem(
-                spec, self.calib, self.caps_fast, dtype=self._fast_dtype
+            self._solve_subwindow(spec, spec_loc, len(subs) - 1)
+
+    def _solve_subwindow(self, spec, spec_loc, j_slot):
+        """Dispatch the subwindow solve, fused with the pending localization
+        solve when one was captured — one device program, one fetch."""
+        it = self.config.solver_iteration_limit
+        if spec_loc is not None:
+            res, lm_slot = builders.solve_localize_subwindow(
+                spec_loc, spec, j_slot, self.calib, self.caps_fast,
+                dtype=self._fast_dtype, max_iterations=it,
             )
-            res = ba.solve_ba(states, invd, pb, max_iterations=self.config.solver_iteration_limit)
-            builders.apply_result(res, spec, lm_slot)
+        else:
+            res, lm_slot = builders.solve_spec(
+                spec, self.calib, self.caps_fast, dtype=self._fast_dtype,
+                max_iterations=it,
+            )
+        builders.apply_result(res, spec, lm_slot)
 
     # ------------------------------------------------------------------
     # IMU-PARSAC dynamic-object rejection (reference :557-769)
