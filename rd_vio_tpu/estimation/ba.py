@@ -411,11 +411,13 @@ def solve_ba(states: FrameStates, inv_depth, pb: BAProblem, max_iterations: int 
         invd_new = invd + dl * pb.opt_lm.astype(dtype)
         new_cost = compute_cost(s_new, invd_new, pb)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
-        # Ceres-style function_tolerance stop: accepted step with tiny
-        # relative decrease, or a tiny proposed step
+        # Ceres-default convergence tests (the reference leaves them at the
+        # defaults, solver.cpp:180-194): function_tolerance 1e-6 on the
+        # relative decrease of an accepted step, parameter_tolerance 1e-8 on
+        # the step size
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, jnp.finfo(dtype).tiny)
-        step_small = jnp.max(jnp.abs(dc)) < 1e-10
-        done = (accept & (rel_decrease < 1e-8)) | step_small
+        step_small = jnp.max(jnp.abs(dc)) < 1e-8
+        done = (accept & (rel_decrease < 1e-6)) | step_small
         s = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), s, s_new)
         invd = jnp.where(accept, invd_new, invd)
         cost = jnp.where(accept, new_cost, cost)

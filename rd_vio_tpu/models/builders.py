@@ -74,11 +74,17 @@ class CalibArrays:
     p_bc_h: np.ndarray = None
     q_bi_h: np.ndarray = None
     p_bi_h: np.ndarray = None
+    cov_w_h: np.ndarray = None  # host noise-cov mirrors (host preintegration)
+    cov_a_h: np.ndarray = None
+    cov_bg_h: np.ndarray = None
+    cov_ba_h: np.ndarray = None
 
     def __post_init__(self):
         if self.q_bc_h is None:
-            self.q_bc_h, self.p_bc_h, self.q_bi_h, self.p_bi_h = fetch(
-                (self.ext.q_bc, self.ext.p_bc, self.ext.q_bi, self.ext.p_bi)
+            (self.q_bc_h, self.p_bc_h, self.q_bi_h, self.p_bi_h,
+             self.cov_w_h, self.cov_a_h, self.cov_bg_h, self.cov_ba_h) = fetch(
+                (self.ext.q_bc, self.ext.p_bc, self.ext.q_bi, self.ext.p_bi,
+                 self.cov_w, self.cov_a, self.cov_bg, self.cov_ba)
             )
 
     @property
@@ -272,15 +278,13 @@ class ProblemArrays(NamedTuple):
     o_zr: np.ndarray
     o_zt: np.ndarray
     o_val: np.ndarray
-    # imu factors (Fi, ...) with raw padded samples (Fi, cap, ...)
+    # imu factors (Fi, ...), preintegrated on host (native/preintegrator.cpp)
     fi_i: np.ndarray
     fi_j: np.ndarray
     fi_val: np.ndarray
     fi_bg0: np.ndarray
     fi_ba0: np.ndarray
-    fi_dts: np.ndarray
-    fi_ws: np.ndarray
-    fi_accs: np.ndarray
+    fi_delta: dict  # PreintDelta fields + "sqrt_inv_cov", leading (Fi, ...)
     # fixed-anchor reprojection priors (P, ...)
     pp_tgt: np.ndarray
     pp_qref: np.ndarray
@@ -289,7 +293,7 @@ class ProblemArrays(NamedTuple):
     pp_zr: np.ndarray
     pp_zt: np.ndarray
     pp_val: np.ndarray
-    # fixed-i imu priors (Fp, ...) with raw padded samples
+    # fixed-i imu priors (Fp, ...), preintegrated on host
     ip_j: np.ndarray
     ip_qi: np.ndarray
     ip_pi: np.ndarray
@@ -297,9 +301,7 @@ class ProblemArrays(NamedTuple):
     ip_bgi: np.ndarray
     ip_bai: np.ndarray
     ip_val: np.ndarray
-    ip_dts: np.ndarray
-    ip_ws: np.ndarray
-    ip_accs: np.ndarray
+    ip_delta: dict  # PreintDelta fields + "sqrt_inv_cov", leading (Fp, ...)
     # rotation priors (R, ...)
     r_tgt: np.ndarray
     r_qref: np.ndarray
@@ -308,12 +310,15 @@ class ProblemArrays(NamedTuple):
     r_val: np.ndarray
 
 
-def _assemble(spec: BASpec, caps: Caps):
-    """Host-side (pure NumPy) assembly of a BASpec into fixed-shape arrays.
+def _assemble(spec: BASpec, caps: Caps, calib: CalibArrays):
+    """Host-side (pure NumPy + native preintegrator) assembly of a BASpec into
+    fixed-shape arrays.
 
-    Returns (ProblemArrays, lm_slot_by_track_id, use_kf_cap). No device work
-    happens here; `_finalize_problem` (jitted by the callers) turns the arrays
-    into a BAProblem on-device, integrating the raw IMU samples there."""
+    Returns (ProblemArrays, lm_slot_by_track_id). No device work happens here;
+    `_finalize_problem` (jitted by the callers) turns the arrays into a
+    BAProblem on-device. IMU intervals are preintegrated HERE, on host f64
+    (native/preintegrator.cpp): the handful of short sequential integrations
+    cost ~1 ms natively vs ~60 ms as f64-emulated XLA ops on TPU."""
     W, L, O, Fi, R = caps.W, caps.L, caps.O, caps.Fi, caps.R
     if len(spec.frames) > W:
         # defensive: drop trailing (fixed-anchor) frames; factors referencing
@@ -385,8 +390,10 @@ def _assemble(spec: BASpec, caps: Caps):
         o_val[oi] = True
         oi += 1
 
-    # imu factors: raw padded samples; integration happens on-device in
-    # _finalize_problem (kf-cap factors padded at the keyframe-chain cap)
+    # imu factors: preintegrate on host (f64 native), kf-cap chains padded at
+    # the keyframe-chain cap
+    from rd_vio_tpu.ops import preintegration_np as pre_np
+
     fi_i = np.zeros(Fi, np.int32)
     fi_j = np.zeros(Fi, np.int32)
     fi_val = np.zeros(Fi, bool)
@@ -404,6 +411,10 @@ def _assemble(spec: BASpec, caps: Caps):
         bg0[k] = e[3]
         ba0[k] = e[4]
         fi_dts[k], fi_ws[k], fi_accs[k] = pad_imu(e[2], cap)
+    fi_delta = pre_np.integrate_full_batch(
+        fi_dts, fi_ws, fi_accs, bg0, ba0,
+        calib.cov_w_h, calib.cov_a_h, calib.cov_bg_h, calib.cov_ba_h,
+    )
 
     # fixed-anchor reprojection priors
     Pcap = caps.P
@@ -431,7 +442,7 @@ def _assemble(spec: BASpec, caps: Caps):
         pp_val[pi_] = True
         pi_ += 1
 
-    # fixed-i imu priors (raw padded samples)
+    # fixed-i imu priors (host-preintegrated)
     Fp = caps.Fp
     ip_j = np.zeros(Fp, np.int32)
     ip_qi = np.tile([1.0, 0, 0, 0], (Fp, 1))
@@ -453,6 +464,10 @@ def _assemble(spec: BASpec, caps: Caps):
         ip_bai[k] = fi_frame.ba
         ip_val[k] = True
         ip_dts[k], ip_ws[k], ip_accs[k] = pad_imu(imu_data, caps.IMU)
+    ip_delta = pre_np.integrate_full_batch(
+        ip_dts, ip_ws, ip_accs, ip_bgi, ip_bai,
+        calib.cov_w_h, calib.cov_a_h, calib.cov_bg_h, calib.cov_ba_h,
+    )
 
     # rotation priors
     r_tgt = np.zeros(R, np.int32)
@@ -481,41 +496,38 @@ def _assemble(spec: BASpec, caps: Caps):
         invd=invd, opt_lm=opt_lm,
         o_tgt=o_tgt, o_ref=o_ref, o_lm=o_lm, o_zr=o_zr, o_zt=o_zt, o_val=o_val,
         fi_i=fi_i, fi_j=fi_j, fi_val=fi_val, fi_bg0=bg0, fi_ba0=ba0,
-        fi_dts=fi_dts, fi_ws=fi_ws, fi_accs=fi_accs,
+        fi_delta=fi_delta,
         pp_tgt=pp_tgt, pp_qref=pp_qref, pp_pref=pp_pref, pp_invd=pp_invd,
         pp_zr=pp_zr, pp_zt=pp_zt, pp_val=pp_val,
         ip_j=ip_j, ip_qi=ip_qi, ip_pi=ip_pi, ip_vi=ip_vi, ip_bgi=ip_bgi,
-        ip_bai=ip_bai, ip_val=ip_val, ip_dts=ip_dts, ip_ws=ip_ws, ip_accs=ip_accs,
+        ip_bai=ip_bai, ip_val=ip_val, ip_delta=ip_delta,
         r_tgt=r_tgt, r_qref=r_qref, r_zr=r_zr, r_zt=r_zt, r_val=r_val,
     )
     return pa, lm_slot
 
 
 def _finalize_problem(pa: ProblemArrays, calib: CalibTree, prior, prior_valid):
-    """Pure-jnp: ProblemArrays -> (states, inv_depth, BAProblem). Preintegrates
-    the raw IMU samples on-device (always in f64 — covariance whitening needs
-    the precision — then casts the factor data to the solve dtype).
+    """Pure-jnp: ProblemArrays -> (states, inv_depth, BAProblem). Pure data
+    plumbing — preintegration already happened on host (f64 native) during
+    assembly; everything here is casts + NamedTuple packing.
 
     The solve dtype is pa's float dtype (cast host-side by the callers)."""
     dtype = jnp.asarray(pa.q).dtype
     f64 = jnp.float64
 
-    def integrate_one(dt, w, a, bg_, ba__):
-        d = pre.integrate(
-            dt.astype(f64), w.astype(f64), a.astype(f64),
-            bg_.astype(f64), ba__.astype(f64),
-            calib.cov_w, calib.cov_a, calib.cov_bg, calib.cov_ba,
+    def unpack_delta(d):
+        delta = pre.PreintDelta(
+            t=jnp.asarray(d["t"]), q=jnp.asarray(d["q"]), p=jnp.asarray(d["p"]),
+            v=jnp.asarray(d["v"]), cov=jnp.asarray(d["cov"]),
+            dq_dbg=jnp.asarray(d["dq_dbg"]), dp_dbg=jnp.asarray(d["dp_dbg"]),
+            dp_dba=jnp.asarray(d["dp_dba"]), dv_dbg=jnp.asarray(d["dv_dbg"]),
+            dv_dba=jnp.asarray(d["dv_dba"]),
         )
-        sic = pre.sqrt_inv_cov(d.cov + 1e-14 * jnp.eye(15))
-        return d, sic
+        return delta, jnp.asarray(d["sqrt_inv_cov"])
 
-    deltas, sics = jax.vmap(integrate_one)(
-        pa.fi_dts, pa.fi_ws, pa.fi_accs, pa.fi_bg0, pa.fi_ba0
-    )
+    deltas, sics = unpack_delta(pa.fi_delta)
     sics = jnp.where(jnp.asarray(pa.fi_val)[:, None, None], sics, jnp.eye(15)[None])
-    ip_deltas, ip_sics = jax.vmap(integrate_one)(
-        pa.ip_dts, pa.ip_ws, pa.ip_accs, pa.ip_bgi, pa.ip_bai
-    )
+    ip_deltas, ip_sics = unpack_delta(pa.ip_delta)
     ip_sics = jnp.where(
         jnp.asarray(pa.ip_val)[:, None, None], ip_sics, jnp.eye(15)[None]
     )
@@ -594,7 +606,7 @@ def build_problem(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None):
     prior-free per-frame solves — TPU-native f32 linalg is much faster than
     emulated f64; the marginalization-prior solves stay f64 for conditioning,
     see SURVEY.md §7)."""
-    pa, lm_slot = _assemble(spec, caps)
+    pa, lm_slot = _assemble(spec, caps, calib)
     pa = _cast_pa(pa, dtype)
     prior = spec.prior
     states, invd, pb = _finalize_jit(
@@ -642,7 +654,7 @@ def solve_spec(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None,
                max_iterations: int = 10) -> ba.BAResult:
     """Assemble + integrate + solve in ONE device dispatch. Returns the
     device-resident BAResult (callers fetch + apply via apply_result)."""
-    pa, lm_slot = _assemble(spec, caps)
+    pa, lm_slot = _assemble(spec, caps, calib)
     pa = _cast_pa(pa, dtype)
     if spec.prior is None:
         res = _solve_noprior_jit(pa, calib.tree, max_iterations=max_iterations)
@@ -682,8 +694,8 @@ def solve_localize_subwindow(
     """Fused per-frame solve for the subframe path: ONE dispatch + ONE fetch
     instead of two (integrate + solve + fetch) sequences. Returns
     (BAResult of the subwindow solve, lm_slot of the subwindow problem)."""
-    pa_loc, _ = _assemble(spec_loc, caps)
-    pa_sub, lm_slot = _assemble(spec_sub, caps)
+    pa_loc, _ = _assemble(spec_loc, caps, calib)
+    pa_sub, lm_slot = _assemble(spec_sub, caps, calib)
     pa_loc = _cast_pa(pa_loc, dtype)
     pa_sub = _cast_pa(pa_sub, dtype)
     res = _fused_localize_subwindow_jit(
@@ -703,7 +715,7 @@ def _marginalize_jit(pa, calib, prior):
 def marginalize_spec(spec: BASpec, calib: CalibArrays, caps: Caps) -> F.PriorFactor:
     """Assemble + integrate + marginalize slot 0 in ONE dispatch; the new
     prior stays device-resident."""
-    pa, _ = _assemble(spec, caps)
+    pa, _ = _assemble(spec, caps, calib)
     return _marginalize_jit(pa, calib.tree, spec.prior)
 
 
@@ -736,16 +748,17 @@ def _triangulate_batch(bearings, q_cw, p_cw, mask):
     return jax.vmap(tri.triangulate_homogeneous)(bearings, q_cw, p_cw, mask)
 
 
-def triangulate_tracks(
-    tracks: List[Track], frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps
+def assemble_triangulation(
+    tracks: List[Track], frames_by_id: Dict[int, Frame], calib: CalibArrays,
+    caps: Caps, solved_frame_id: Optional[int] = None,
 ):
-    """Batched N-view DLT over all given tracks (reference track.cpp:46-76).
+    """NumPy view arrays for batched N-view DLT, padded to (caps.L, TRI_VIEWS).
 
-    Returns (points (N,3), ok (N,)) in world frame."""
+    Views of `solved_frame_id` get use_solved=1 and placeholder poses — the
+    fused localize+triangulate program substitutes the freshly solved frame
+    pose on-device."""
     V = caps.TRI_VIEWS
     n = len(tracks)
-    if n == 0:
-        return np.zeros((0, 3)), np.zeros(0, bool)
     # pad the batch to the landmark capacity: a varying batch size would
     # recompile the jitted triangulation on the per-keyframe hot path
     n_cap = caps.L if n <= caps.L else n
@@ -753,6 +766,7 @@ def triangulate_tracks(
     qcw = np.tile([1.0, 0, 0, 0], (n_cap, V, 1))
     pcw = np.zeros((n_cap, V, 3))
     m = np.zeros((n_cap, V))
+    us = np.zeros((n_cap, V))
     q_bc = calib.q_bc_h
     p_bc = calib.p_bc_h
     for ti, t in enumerate(tracks):
@@ -761,16 +775,88 @@ def triangulate_tracks(
             f = frames_by_id.get(fid)
             if f is None or vi >= V:
                 continue
-            qc, pc = f.get_pose(q_bc, p_bc)  # camera-to-world
-            qcw[ti, vi] = qconj(qc)
-            pcw[ti, vi] = -qrot(qconj(qc), pc)
+            if solved_frame_id is not None and fid == solved_frame_id:
+                us[ti, vi] = 1.0
+            else:
+                qc, pc = f.get_pose(q_bc, p_bc)  # camera-to-world
+                qcw[ti, vi] = qconj(qc)
+                pcw[ti, vi] = -qrot(qconj(qc), pc)
             b[ti, vi] = f.bearings[k]
             m[ti, vi] = 1.0
             vi += 1
+    return b, qcw, pcw, m, us
+
+
+def triangulate_tracks(
+    tracks: List[Track], frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps
+):
+    """Batched N-view DLT over all given tracks (reference track.cpp:46-76).
+
+    Returns (points (N,3), ok (N,)) in world frame."""
+    n = len(tracks)
+    if n == 0:
+        return np.zeros((0, 3)), np.zeros(0, bool)
+    b, qcw, pcw, m, _ = assemble_triangulation(tracks, frames_by_id, calib, caps)
     pts, ok = fetch(_triangulate_batch(
         jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw), jnp.asarray(m)
     ))
     return pts[:n], ok[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _fused_localize_triangulate_jit(pa_loc, b, qcw, pcw, m, us, calib,
+                                    max_iterations):
+    """Localize solve chained into batched triangulation: the solved frame's
+    camera pose replaces the flagged view rows on-device (reference
+    track() :101-125 then track_landmark :204-224 for the keyframe path)."""
+    from rd_vio_tpu.ops.lie import quat_conj, quat_mul, quat_rotate
+
+    s_loc, invd_loc, pb_loc = _finalize_problem(pa_loc, calib, None, False)
+    res = ba.solve_ba(s_loc, invd_loc, pb_loc, max_iterations=max_iterations)
+
+    # triangulation stays f64 (DLT conditioning; reference uses double)
+    q0 = res.states.q[0].astype(jnp.float64)
+    p0 = res.states.p[0].astype(jnp.float64)
+    qc = quat_mul(q0, calib.ext.q_bc)
+    pc = p0 + quat_rotate(q0, calib.ext.p_bc)
+    qcw_j = quat_conj(qc)
+    pcw_j = -quat_rotate(qcw_j, pc)
+    sel = us[..., None] > 0
+    qcw = jnp.where(sel, qcw_j[None, None, :], qcw)
+    pcw = jnp.where(sel, pcw_j[None, None, :], pcw)
+    pts, ok = jax.vmap(tri.triangulate_homogeneous)(b, qcw, pcw, m)
+    return res, pts, ok
+
+
+def solve_localize_triangulate(
+    spec_loc: BASpec, tracks: List[Track], frames_by_id: Dict[int, Frame],
+    calib: CalibArrays, caps_fast: Caps, caps: Caps, dtype=None,
+    max_iterations: int = 10,
+):
+    """Fused keyframe-path head: localization solve + triangulation of the new
+    keyframe's pending tracks in ONE dispatch + ONE fetch.
+
+    Applies the localized state to spec_loc.frames[0] and returns
+    (points (N,3), ok (N,)) for `tracks`."""
+    n = len(tracks)
+    solved_fid = spec_loc.frames[0].id
+    pa, _ = _assemble(spec_loc, caps_fast, calib)
+    pa = _cast_pa(pa, dtype)
+    b, qcw, pcw, m, us = assemble_triangulation(
+        tracks, frames_by_id, calib, caps, solved_frame_id=solved_fid
+    )
+    res, pts, ok = _fused_localize_triangulate_jit(
+        pa, jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw),
+        jnp.asarray(m), jnp.asarray(us), calib.tree,
+        max_iterations=max_iterations,
+    )
+    s = res.states
+    q, p, v, bg, ba_, pts_h, ok_h = fetch(
+        (s.q, s.p, s.v, s.bg, s.ba, pts, ok)
+    )
+    fj = spec_loc.frames[0]
+    fj.q, fj.p, fj.v, fj.bg, fj.ba = q[0], p[0], v[0], bg[0], ba_[0]
+    return pts_h[:n], ok_h[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from rd_vio_tpu.models import builders
 from rd_vio_tpu.models.map import (
     FT_NO_TRANSLATION, Frame, Map, TT_TRASH,
 )
-from rd_vio_tpu.models.quat_np import qconj, qmul, qrot
+from rd_vio_tpu.models.quat_np import q_to_R, qconj, qmul, qrot
 from rd_vio_tpu.ops import poisson_disk, ransac
 
 
@@ -203,7 +203,7 @@ class FeatureTracker:
             dkq = qconj(
                 qmul(qmul(qmul(qmul(qconj(q_bc), q_bi), delta_q), qconj(q_bi)), q_bc)
             )
-            pb = np.stack([qrot(dkq, b) for b in last.bearings[:n]])
+            pb = last.bearings[:n] @ q_to_R(dkq).T
             pred_pix = np.stack(
                 [
                     pb[:, 0] / np.maximum(pb[:, 2], 1e-6) * Km[0, 0] + Km[0, 2],
@@ -267,11 +267,12 @@ class FeatureTracker:
 
         # append surviving matches + track links (reference frame.cpp:163-171)
         final = out["mask"][:n]
+        survivors = np.flatnonzero(final)
         with self.map.lock:
-            for i in np.flatnonzero(final):
-                k_new = frame.append_keypoint(next_bearings[i])
+            k_new = frame.append_keypoints(next_bearings[survivors])
+            for off, i in enumerate(survivors):
                 t = self.map.get_track(last, i, create=True)
-                self.map.add_keypoint(t, frame, k_new)
+                self.map.add_keypoint(t, frame, k_new + off)
 
     def _interval_rotation(self, frame: Frame):
         """Integrate the frame's gyro samples into a delta rotation quat."""

@@ -85,6 +85,16 @@ class Frame:
         self.track_ids = np.append(self.track_ids, -1)
         return len(self.bearings) - 1
 
+    def append_keypoints(self, bearings: np.ndarray) -> int:
+        """Batch append; returns the index of the first appended keypoint
+        (one array reallocation instead of one per keypoint)."""
+        first = len(self.bearings)
+        self.bearings = np.vstack([self.bearings, bearings])
+        self.track_ids = np.concatenate(
+            [self.track_ids, np.full(len(bearings), -1, dtype=np.int64)]
+        )
+        return first
+
     def clone(self) -> "Frame":
         """Copy state but not track links (reference frame.cpp:19-36);
         preserves id (reference identifiable.h clone semantics)."""

@@ -132,12 +132,20 @@ class SlidingWindowTracker:
         from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
 
         if self._keyframe_decision():
-            with T.time("swt.localize"):
-                self.localize_newframe()
+            # capture the localization problem BEFORE the keyframe mutations
+            # (reference order localize -> manage; the problem reads only
+            # pre-manage structure and states, so capturing it here and
+            # executing it fused with triangulation is equivalent)
+            m = self.map
+            frame_i = m.get_frame(m.frame_num - 2)
+            if frame_i.subframes:
+                frame_i = frame_i.subframes[-1]
+            frame_j = m.get_frame(m.frame_num - 1)
+            spec_loc = self._localize_spec(frame_i, frame_j)
             kf = self.manage_keyframe()
             assert kf, "keyframe decision disagreed with manage_keyframe"
-            with T.time("swt.triangulate"):
-                self.track_landmark()
+            with T.time("swt.localize_triangulate"):
+                self.track_landmark(spec_loc=spec_loc)
             with T.time("swt.refine_window"):
                 self.refine_window()
             with T.time("swt.marginalize"):
@@ -262,9 +270,10 @@ class SlidingWindowTracker:
         return False
 
     # ------------------------------------------------------------------
-    def track_landmark(self):
+    def track_landmark(self, spec_loc=None):
         """Triangulate not-yet-triangulated tracks of the new keyframe
-        (reference :204-224)."""
+        (reference :204-224). With spec_loc, the pending localization solve is
+        fused into the same device program (one dispatch + one fetch)."""
         m = self.map
         newframe = m.get_frame(m.frame_num - 1)
         frames_by_id = {f.id: f for f in m.all_frames()}
@@ -273,9 +282,20 @@ class SlidingWindowTracker:
             t = m.get_track(newframe, k)
             if t is not None and not t.tag(TT_TRIANGULATED):
                 pending.append(t)
-        if not pending:
+        if spec_loc is not None:
+            pts, ok = builders.solve_localize_triangulate(
+                spec_loc, pending, frames_by_id, self.calib,
+                self.caps_fast, self.caps, dtype=self._fast_dtype,
+                max_iterations=self.config.solver_iteration_limit,
+            )
+            if not pending:
+                return
+        elif not pending:
             return
-        pts, ok = builders.triangulate_tracks(pending, frames_by_id, self.calib, self.caps)
+        else:
+            pts, ok = builders.triangulate_tracks(
+                pending, frames_by_id, self.calib, self.caps
+            )
         for t, x, o in zip(pending, pts, ok):
             if o:
                 builders.set_landmark_point(t, x, frames_by_id, self.calib)

@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "_librdvio_native.so")
-_SOURCES = ["euroc_loader.cpp", "sensor_queue.cpp"]
+_SOURCES = ["euroc_loader.cpp", "sensor_queue.cpp", "preintegrator.cpp"]
 _lock = threading.Lock()
 _lib = None
 
@@ -84,8 +84,42 @@ def load_library():
         ]
         lib.rdvio_queue_pop_interval.restype = ctypes.c_int64
         lib.rdvio_queue_destroy.argtypes = [ctypes.c_int64]
+        # preintegrator
+        dptr = ctypes.POINTER(ctypes.c_double)
+        lib.rdvio_preintegrate_batch.argtypes = (
+            [ctypes.c_longlong, ctypes.c_longlong] + [dptr] * 20
+        )
         _lib = lib
         return lib
+
+
+def preintegrate_batch(dts, ws, accs, bg, ba, cov_w, cov_a, cov_bg, cov_ba):
+    """Batched sequential IMU preintegration on host (f64), returning a dict
+    of NumPy arrays with leading axis F: t, q, p, v, cov, dq_dbg, dp_dbg,
+    dp_dba, dv_dbg, dv_dba, sqrt_inv_cov. Shapes: dts (F, N); ws/accs (F, N, 3);
+    bg/ba (F, 3); cov_* (3, 3)."""
+    lib = load_library()
+    F, N = dts.shape
+    c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+    dts, ws, accs, bg, ba = c(dts), c(ws), c(accs), c(bg), c(ba)
+    cov_w, cov_a, cov_bg, cov_ba = c(cov_w), c(cov_a), c(cov_bg), c(cov_ba)
+    out = {
+        "t": np.zeros(F), "q": np.zeros((F, 4)), "p": np.zeros((F, 3)),
+        "v": np.zeros((F, 3)), "cov": np.zeros((F, 15, 15)),
+        "dq_dbg": np.zeros((F, 3, 3)), "dp_dbg": np.zeros((F, 3, 3)),
+        "dp_dba": np.zeros((F, 3, 3)), "dv_dbg": np.zeros((F, 3, 3)),
+        "dv_dba": np.zeros((F, 3, 3)), "sqrt_inv_cov": np.zeros((F, 15, 15)),
+    }
+    dp = ctypes.POINTER(ctypes.c_double)
+    p_ = lambda a: a.ctypes.data_as(dp)
+    lib.rdvio_preintegrate_batch(
+        F, N, p_(dts), p_(ws), p_(accs), p_(bg), p_(ba),
+        p_(cov_w), p_(cov_a), p_(cov_bg), p_(cov_ba),
+        p_(out["t"]), p_(out["q"]), p_(out["p"]), p_(out["v"]), p_(out["cov"]),
+        p_(out["dq_dbg"]), p_(out["dp_dbg"]), p_(out["dp_dba"]),
+        p_(out["dv_dbg"]), p_(out["dv_dba"]), p_(out["sqrt_inv_cov"]),
+    )
+    return out
 
 
 def available() -> bool:

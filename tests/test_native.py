@@ -85,3 +85,59 @@ def test_native_motion_fast_path():
     rows = q.pop_interval(10.0, cap=32)
     assert len(rows) == 16
     q.destroy()
+
+
+def test_native_preintegrator_matches_jax():
+    """native/preintegrator.cpp must match ops/preintegration.integrate (and
+    the Python fallback must match the native path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rd_vio_tpu.ops import preintegration as pre
+    from rd_vio_tpu.ops import preintegration_np as pre_np
+
+    rng = np.random.default_rng(3)
+    F, N = 4, 24
+    dts = np.zeros((F, N))
+    ws = np.zeros((F, N, 3))
+    accs = np.zeros((F, N, 3))
+    for f in range(F):
+        n = rng.integers(5, N)
+        dts[f, :n] = rng.uniform(0.004, 0.006, n)
+        ws[f, :n] = rng.normal(0, 0.3, (n, 3))
+        accs[f, :n] = rng.normal(0, 2.0, (n, 3)) + [0, 0, 9.8]
+    bg = rng.normal(0, 0.01, (F, 3))
+    ba = rng.normal(0, 0.05, (F, 3))
+    covs = [np.eye(3) * c for c in (2.9e-8, 4e-6, 3.8e-10, 9e-6)]
+
+    out = pre_np.integrate_full_batch(dts, ws, accs, bg, ba, *covs)
+
+    covs_j = [jnp.asarray(c) for c in covs]
+    for f in range(F):
+        d = pre.integrate(
+            jnp.asarray(dts[f]), jnp.asarray(ws[f]), jnp.asarray(accs[f]),
+            jnp.asarray(bg[f]), jnp.asarray(ba[f]), *covs_j,
+        )
+        sic = pre.sqrt_inv_cov(d.cov + 1e-14 * jnp.eye(15))
+        for k, ref in [
+            ("t", d.t), ("q", d.q), ("p", d.p), ("v", d.v), ("cov", d.cov),
+            ("dq_dbg", d.dq_dbg), ("dp_dbg", d.dp_dbg), ("dp_dba", d.dp_dba),
+            ("dv_dbg", d.dv_dbg), ("dv_dba", d.dv_dba), ("sqrt_inv_cov", sic),
+        ]:
+            ref = np.asarray(ref)
+            err = np.max(np.abs(out[k][f] - ref))
+            rel = err / (np.max(np.abs(ref)) + 1e-12)
+            assert rel < 1e-8, (f, k, err, rel)
+
+    # Python fallback (no native lib) must agree with the native path
+    import rd_vio_tpu.native as nat
+
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        out2 = pre_np.integrate_full_batch(dts, ws, accs, bg, ba, *covs)
+    finally:
+        nat.available = orig
+    for k in out:
+        scale = np.max(np.abs(out[k])) + 1e-12
+        assert np.max(np.abs(out[k] - out2[k])) / scale < 1e-12, k
