@@ -133,6 +133,14 @@ class Config:
     ransac_hypotheses: int = 256  # K batched hypotheses per robust solve
     solver_dtype: str = "float64"  # keyframe/marginalization solves (prior conditioning)
     fast_solver_dtype: str = "float32"  # prior-free per-frame solves (localize/subwindow)
+    # keyframe window solve: f32 is safe because the marginalization prior
+    # enters in SQUARE-ROOT form (sqrt_inv_cov rows stacked into J, so H's
+    # 1e30-scale gauge entries never materialize at reduced precision in the
+    # factorization inputs) and the marginalization itself stays f64 —
+    # the square-root sliding-window BA argument (arXiv 2109.02182). ~8x
+    # faster than emulated f64 on TPU v5e; set "float64" to restore the
+    # all-double reference behavior.
+    window_solver_dtype: str = "float32"
 
     def solver_np_dtype(self):
         return np.dtype(self.solver_dtype)

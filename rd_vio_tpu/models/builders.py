@@ -719,6 +719,172 @@ def marginalize_spec(spec: BASpec, calib: CalibArrays, caps: Caps) -> F.PriorFac
     return _marginalize_jit(pa, calib.tree, spec.prior)
 
 
+# ---------------------------------------------------------------------------
+# fused keyframe tail: window solve + landmark validation + marginalization
+# ---------------------------------------------------------------------------
+
+
+def _assemble_validation(
+    tracks: List[Track], frames_by_id: Dict[int, Frame],
+    wslot: Dict[int, int], lm_slot_w: Dict[int, int], calib: CalibArrays,
+    Lv: int, Ov: int,
+):
+    """NumPy arrays for on-device landmark validation (reference refine_window
+    post-solve validation, sliding_window_tracker.cpp:304-336): per track the
+    anchor camera pose (a window slot when the anchor is a window keyframe —
+    resolved against the SOLVED states on device — or baked host constants),
+    and per keyframe observation the observing window slot + bearing."""
+    a_slot = np.full(Lv, -1, np.int32)
+    a_qc = np.tile([1.0, 0, 0, 0], (Lv, 1))
+    a_pc = np.zeros((Lv, 3))
+    z0 = np.tile([0.0, 0, 1.0], (Lv, 1))
+    lmw = np.full(Lv, -1, np.int32)
+    invd_h = np.ones(Lv)
+    has = np.zeros(Lv, bool)
+    o_ti = np.zeros(Ov, np.int32)
+    o_slot = np.zeros(Ov, np.int32)
+    o_z = np.tile([0.0, 0, 1.0], (Ov, 1))
+    o_val = np.zeros(Ov, bool)
+    q_bc, p_bc = calib.q_bc_h, calib.p_bc_h
+    oi = 0
+    for ti, t in enumerate(tracks[:Lv]):
+        aid = t.first_frame_id()
+        af = frames_by_id.get(aid)
+        if af is None:
+            continue
+        has[ti] = True
+        z0[ti] = af.bearings[t.obs[aid]]
+        s = wslot.get(aid, -1)
+        a_slot[ti] = s
+        if s < 0:
+            a_qc[ti], a_pc[ti] = af.get_pose(q_bc, p_bc)
+        lmw[ti] = lm_slot_w.get(t.id, -1)
+        invd_h[ti] = t.inv_depth
+        for fid, k in t.obs.items():
+            if fid not in wslot:
+                continue  # only keyframe observations enter validation
+            if oi >= Ov:
+                break
+            f = frames_by_id[fid]
+            o_ti[oi] = ti
+            o_slot[oi] = wslot[fid]
+            o_z[oi] = f.bearings[k]
+            o_val[oi] = True
+            oi += 1
+    Km = calib.K
+    return {
+        "a_slot": a_slot, "a_qc": a_qc, "a_pc": a_pc, "z0": z0,
+        "lmw": lmw, "invd_h": invd_h, "has": has,
+        "o_ti": o_ti, "o_slot": o_slot, "o_z": o_z, "o_val": o_val,
+        "fxy": np.array([Km[0, 0], Km[1, 1]]),
+    }
+
+
+def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics):
+    """Vectorized landmark validation at the solved states: depth in
+    (1e-3, 50] at every keyframe observation and mean pixel reprojection
+    error < 3 px (reference :304-336)."""
+    from rd_vio_tpu.ops.lie import quat_conj, quat_mul, quat_rotate
+
+    a_slot = jnp.asarray(va["a_slot"])
+    use_w = a_slot >= 0
+    idx = jnp.clip(a_slot, 0)
+    qb = s64.q[idx]
+    pb_ = s64.p[idx]
+    q_bc = jnp.broadcast_to(ext.q_bc, qb.shape)
+    p_bc = jnp.broadcast_to(ext.p_bc, pb_.shape)
+    qc = jnp.where(use_w[:, None], quat_mul(qb, q_bc), jnp.asarray(va["a_qc"]))
+    pc = jnp.where(use_w[:, None], pb_ + quat_rotate(qb, p_bc), jnp.asarray(va["a_pc"]))
+    lmw = jnp.asarray(va["lmw"])
+    invd = jnp.where(lmw >= 0, invd64[jnp.clip(lmw, 0)], jnp.asarray(va["invd_h"]))
+    z0 = jnp.asarray(va["z0"])
+    x = quat_rotate(qc, z0 / jnp.maximum(invd, 1e-12)[:, None]) + pc
+
+    o_slot = jnp.asarray(va["o_slot"])
+    o_ti = jnp.asarray(va["o_ti"])
+    qob = s64.q[o_slot]
+    pob = s64.p[o_slot]
+    q_bc_o = jnp.broadcast_to(ext.q_bc, qob.shape)
+    p_bc_o = jnp.broadcast_to(ext.p_bc, pob.shape)
+    qoc = quat_mul(qob, q_bc_o)
+    poc = pob + quat_rotate(qob, p_bc_o)
+    y = quat_rotate(quat_conj(qoc), x[o_ti] - poc)
+    depth_bad = ~((y[:, 2] > 1e-3) & (y[:, 2] <= 50.0))
+    ys = y[:, :2] / jnp.maximum(y[:, 2:], 1e-12)
+    o_z = jnp.asarray(va["o_z"])
+    zs = o_z[:, :2] / o_z[:, 2:]
+    rpe = jnp.linalg.norm((ys - zs) * jnp.asarray(va["fxy"])[None], axis=-1)
+    ov = jnp.asarray(va["o_val"])
+    Lv = a_slot.shape[0]
+    f64 = invd.dtype
+    sum_rpe = jax.ops.segment_sum(jnp.where(ov, rpe, 0.0), o_ti, num_segments=Lv)
+    cnt = jax.ops.segment_sum(ov.astype(f64), o_ti, num_segments=Lv)
+    nbad = jax.ops.segment_sum((ov & depth_bad).astype(f64), o_ti, num_segments=Lv)
+    mean_rpe = sum_rpe / jnp.maximum(cnt, 1.0)
+    return (
+        jnp.asarray(va["has"]) & (invd > 0) & (nbad == 0) & (mean_rpe < 3.0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _fused_window_tail_jit(pa_w, prior, va, pa_m, mlm_vti, mlm_from_w, calib,
+                           max_iterations):
+    """Window VI-BA solve -> on-device landmark validation -> marginalization
+    of slot 0 with validation-gated factors, all in ONE program (reference
+    keyframe tail refine_window :226-337 -> validation :304-336 ->
+    slide_window/marginalize :339-347). The solve may run at reduced
+    precision; validation + marginalization run in f64 on the cast-up result."""
+    from rd_vio_tpu.estimation import marginalization
+
+    s, invd, pb = _finalize_problem(pa_w, calib, prior, True)
+    res = ba.solve_ba(s, invd, pb, max_iterations=max_iterations)
+
+    f64 = jnp.float64
+    s64 = FrameStates(*(a.astype(f64) for a in res.states))
+    invd64 = res.inv_depth.astype(f64)
+    valid_out = _validate_tracks_device(va, s64, invd64, calib.ext)
+
+    s_m, invd_m, pb_m = _finalize_problem(pa_m, calib, prior, True)
+    sel = mlm_from_w >= 0
+    invd_m = jnp.where(sel, invd64[jnp.clip(mlm_from_w, 0)], invd_m)
+    lm_ok = (mlm_vti >= 0) & valid_out[jnp.clip(mlm_vti, 0)] & (invd_m > 0)
+    rp = pb_m.reproj
+    pb_m = pb_m._replace(reproj=rp._replace(valid=rp.valid & lm_ok[rp.lm]))
+    new_prior = marginalization.marginalize_frame0(s64, invd_m, pb_m)
+    return res, valid_out, new_prior
+
+
+def solve_window_validate_marginalize(
+    spec_w: BASpec, tracks_v: List[Track], spec_m: BASpec,
+    frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps,
+    dtype=None, max_iterations: int = 10,
+):
+    """Fused keyframe tail: ONE dispatch covering the window solve, landmark
+    validation, and the slot-0 marginalization; ONE fetch for (solve result,
+    per-track validity). The new prior stays device-resident.
+
+    Returns (res, lm_slot_w, valid_out_dev, new_prior); `valid_out_dev[i]`
+    corresponds to tracks_v[i] (truncated at 2*caps.L)."""
+    Lv = 2 * caps.L
+    Ov = caps.O
+    wslot = {f.id: i for i, f in enumerate(spec_w.frames)}
+    pa_w, lm_w = _assemble(spec_w, caps, calib)
+    va = _assemble_validation(tracks_v, frames_by_id, wslot, lm_w, calib, Lv, Ov)
+    pa_m, lm_m = _assemble(spec_m, caps, calib)
+    vti_of_tid = {t.id: i for i, t in enumerate(tracks_v[:Lv])}
+    mlm_vti = np.full(caps.L, -1, np.int32)
+    mlm_from_w = np.full(caps.L, -1, np.int32)
+    for tid, s in lm_m.items():
+        mlm_vti[s] = vti_of_tid.get(tid, -1)
+        mlm_from_w[s] = lm_w.get(tid, -1)
+    res, valid_out, new_prior = _fused_window_tail_jit(
+        _cast_pa(pa_w, dtype), spec_w.prior, va, pa_m,
+        jnp.asarray(mlm_vti), jnp.asarray(mlm_from_w), calib.tree,
+        max_iterations=max_iterations,
+    )
+    return res, lm_w, valid_out, new_prior
+
+
 def apply_result(res: ba.BAResult, spec: BASpec, lm_slot: Dict[int, int]):
     # one batched device->host transfer for the whole result
     q, p, v, bg, ba_, invd_dev = fetch(

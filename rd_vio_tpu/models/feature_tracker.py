@@ -248,12 +248,9 @@ class FeatureTracker:
         # device mask program (f32) overlaps with the host state prediction
         pending = ft_step(
             jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
-            jnp.asarray(npix), jnp.asarray(order), jnp.asarray(trash),
             self._next_key(),
             np.float32(np.radians(cfg.rotation_ransac_threshold)),
             num_hypotheses=cfg.ransac_hypotheses,
-            min_dist=float(cfg.feature_tracker_min_keypoint_distance),
-            width=float(W_img), height=float(H_img),
         )
 
         # predicted state (reference predict path) — host NumPy, mean-only
@@ -265,8 +262,18 @@ class FeatureTracker:
         if float(out["misalign"]) < cfg.rotation_misalignment_threshold:
             frame.set_tag(FT_NO_TRANSLATION, True)
 
-        # append surviving matches + track links (reference frame.cpp:163-171)
-        final = out["mask"][:n]
+        # track-length-priority Poisson re-filter (reference frame.cpp:134-161)
+        # — host-side on the fetched mask (frees serialized device scan time)
+        status_m = np.asarray(out["mask"])
+        pd_val = status_m[order] & ~trash[order]
+        acc = poisson_disk.poisson_disk_filter_np(
+            npix[order], pd_val,
+            min_distance=float(cfg.feature_tracker_min_keypoint_distance),
+            width=float(W_img), height=float(H_img),
+        )
+        keep = np.zeros_like(status_m)
+        keep[order] = acc
+        final = (status_m & keep & ~trash)[:n]
         survivors = np.flatnonzero(final)
         with self.map.lock:
             k_new = frame.append_keypoints(next_bearings[survivors])

@@ -51,12 +51,19 @@ class SlidingWindowTracker:
             caps, W=config.sliding_window_subframe_size + 6,
             O=256, L=64, P=768, Fi=12, Fp=2, R=caps.R,
         )
-        # prior-free solves run in f32 (TPU-native linalg); keyframe solves
-        # with the marginalization prior stay f64 (SURVEY.md §7 conditioning)
+        # prior-free solves run in f32 (TPU-native linalg); the keyframe
+        # window solve dtype is configurable (f32 default — the prior enters
+        # in square-root form; marginalization itself stays f64)
         self._fast_dtype = jnp.dtype(config.fast_solver_dtype)
+        self._window_dtype = jnp.dtype(
+            getattr(config, "window_solver_dtype", "float64")
+        )
         self.feature_tracking_map: Optional[Map] = None
         self.dist_mesh = None  # set to a parallel.dist_ba mesh for sharded BA
         self.prior: Optional[F.PriorFactor] = None
+        # prior produced by the fused keyframe-tail program, consumed by the
+        # matching slide_window() call
+        self._pending_prior: Optional[F.PriorFactor] = None
         self.m_th = 3.0  # adaptive epipolar threshold (px)
         self.bin_conf_imu = parsac.default_bin_confidences()
         self.bin_conf_2d2d = parsac.default_bin_confidences()
@@ -371,6 +378,13 @@ class SlidingWindowTracker:
             opt_tracks=[t for t in opt_tracks if t.tag(TT_TRIANGULATED)],
             reproj=reproj, imu=imu, rot=[], prior=self.prior,
         )
+        if self.dist_mesh is None and m.frame_num > self.config.sliding_window_size:
+            # the window will slide right after this solve: run the whole
+            # keyframe tail (solve + validation + marginalization) as one
+            # fused device program — one dispatch, one fetch, prior stays
+            # device-resident
+            self._refine_window_fused_tail(spec, frames, frames_by_id)
+            return
         if self.dist_mesh is not None:
             states, invd, pb, lm_slot = builders.build_problem(spec, self.calib, self.caps)
             # landmark-sharded distributed Schur BA (parallel/dist_ba.py)
@@ -396,7 +410,7 @@ class SlidingWindowTracker:
                     t.inv_depth = float(invd_h[new_slot[old]])
         else:
             res, lm_slot = builders.solve_spec(
-                spec, self.calib, self.caps,
+                spec, self.calib, self.caps, dtype=self._window_dtype,
                 max_iterations=self.config.solver_iteration_limit,
             )
             builders.apply_result(res, spec, lm_slot)
@@ -482,37 +496,79 @@ class SlidingWindowTracker:
             if not t.tag(TT_VALID):
                 t.set_tag(TT_TRASH, True)
 
+    def _refine_window_fused_tail(self, spec, frames, frames_by_id):
+        """Fused keyframe tail: window solve + on-device landmark validation +
+        slot-0 marginalization in one program; apply results back on host."""
+        m = self.map
+        tracks_v = [t for t in m.tracks.values() if t.tag(TT_TRIANGULATED)]
+        # marginalization spec with RELAXED validity (TT_VALID / inv_depth are
+        # only known post-solve; the device program gates each factor on the
+        # validation outcome instead)
+        spec_m = self._marg_spec(frames, frames_by_id, require_valid=False)
+        res, lm_w, valid_dev, new_prior = builders.solve_window_validate_marginalize(
+            spec, tracks_v, spec_m, frames_by_id, self.calib, self.caps,
+            dtype=self._window_dtype,
+            max_iterations=self.config.solver_iteration_limit,
+        )
+        s = res.states
+        q, p, v, bg, ba_, invd_h, valid_h = fetch(
+            (s.q, s.p, s.v, s.bg, s.ba, res.inv_depth, valid_dev)
+        )
+        for i, f in enumerate(spec.frames):
+            f.q, f.p, f.v, f.bg, f.ba = q[i], p[i], v[i], bg[i], ba_[i]
+        by_id = {t.id: t for t in spec.opt_tracks}
+        for tid, sl in lm_w.items():
+            t = by_id.get(tid)
+            if t is not None:
+                t.inv_depth = float(invd_h[sl])
+        # validation side effects (mirror _validate_landmarks)
+        for t in m.tracks.values():
+            if not t.tag(TT_TRIANGULATED):
+                t.inv_depth = -1.0
+        for ti, t in enumerate(tracks_v[: len(valid_h)]):
+            t.set_tag(TT_VALID, bool(valid_h[ti]))
+        for t in m.tracks.values():
+            if not t.tag(TT_VALID):
+                t.set_tag(TT_TRASH, True)
+        self._pending_prior = new_prior  # consumed by slide_window
+
     # ------------------------------------------------------------------
     def slide_window(self):
         """Marginalize oldest keyframes while the window is oversized
-        (reference :339-347)."""
+        (reference :339-347). The first marginalization may already have run
+        inside the fused keyframe-tail program (its prior is pending)."""
         m = self.map
         while m.frame_num > self.config.sliding_window_size:
             victim = m.get_frame(0)
             for sub in victim.subframes:
                 m.untrack_frame(sub)
             victim.subframes.clear()
-            self._marginalize_frame0()
+            if self._pending_prior is not None:
+                self.prior = self._pending_prior
+                self._pending_prior = None
+                self._finish_marginalize_host(victim)
+            else:
+                self._marginalize_frame0()
 
-    def _marginalize_frame0(self):
+    def _marg_spec(self, frames, frames_by_id, require_valid: bool = True):
+        """Marginalization problem for window slot 0 (reference
+        ceres/marginalization_factor.h:237-283): reprojection factors of
+        victim-anchored (keyframe-anchor) tracks + the adjacent keyframe
+        preintegration factor + the current prior."""
         m = self.map
-        frames = list(m.frames)
         victim = frames[0]
-        frames_by_id = {f.id: f for f in m.all_frames()}
         fid_set = {f.id for f in frames}
 
-        # reprojection factors of tracks observed in the victim whose anchor
-        # is a keyframe (reference ceres/marginalization_factor.h:237-283)
         reproj = []
         tracks = []
         for k in range(victim.keypoint_num):
             t = m.get_track(victim, k)
-            if t is None or not t.tag(TT_VALID) or not t.tag(TT_TRIANGULATED):
+            if t is None or not t.tag(TT_TRIANGULATED):
+                continue
+            if require_valid and (not t.tag(TT_VALID) or t.inv_depth <= 0):
                 continue
             anchor = frames_by_id.get(t.first_frame_id())
             if anchor is None or not anchor.tag(FT_KEYFRAME):
-                continue
-            if t.inv_depth <= 0:
                 continue
             tracks.append(t)
             for fid, kk in t.obs.items():
@@ -532,17 +588,28 @@ class SlidingWindowTracker:
             self.prior = F.initial_prior(
                 self.caps.W, builders._frame_states(frames, self.caps.W)
             )
-        spec = builders.BASpec(
+        return builders.BASpec(
             frames=frames,
             fix_pose=[False] * len(frames),
             fix_motion=[False] * len(frames),
             opt_tracks=tracks, reproj=reproj, imu=imu, rot=[], prior=self.prior,
         )
+
+    def _marginalize_frame0(self):
+        m = self.map
+        frames = list(m.frames)
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        spec = self._marg_spec(frames, frames_by_id, require_valid=True)
         # fused assemble+integrate+marginalize: one dispatch, prior stays
         # device-resident
         self.prior = builders.marginalize_spec(spec, self.calib, self.caps)
+        self._finish_marginalize_host(frames[0])
 
-        # re-anchor inverse depths of tracks losing their first frame
+    def _finish_marginalize_host(self, victim):
+        """Host bookkeeping after the device marginalization: re-anchor
+        inverse depths of tracks losing their first frame, drop the victim."""
+        m = self.map
+        frames_by_id = {f.id: f for f in m.all_frames()}
         for t in list(m.tracks.values()):
             if t.first_frame_id() == victim.id and t.tag(TT_TRIANGULATED) and t.inv_depth > 0:
                 x = builders.get_landmark_point(t, frames_by_id, self.calib)

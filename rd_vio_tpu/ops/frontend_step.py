@@ -6,9 +6,10 @@ from the device (reference flow: frame.cpp:74-172):
   1. essential-RANSAC match mask,
   2. 2-pt rotation RANSAC + 70th-percentile misalignment (pure-rotation
      detector),
-  3. track-length-priority Poisson-disk re-filter,
 
 returning a single pytree so the host pays ONE dispatch + ONE fetch per frame.
+The track-length-priority Poisson re-filter runs host-side after the fetch
+(see ft_step docstring).
 State prediction (preintegrate + gravity propagation) happens host-side in
 `ops/preintegration_np.py` — it is a ~10-sample mean-only loop, and keeping it
 off the device removes a sequential 64-step f64 scan from this program.
@@ -26,31 +27,26 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from rd_vio_tpu.ops import poisson_disk, ransac
+from rd_vio_tpu.ops import ransac
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_hypotheses", "min_dist", "width", "height"),
-)
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def ft_step(
     # matches (KP_CAP padded): bearings in prev/next frame + validity
     b1, b2, valid,
-    next_pix,  # (KP, 2) tracked pixel positions
-    order,  # (KP,) priority permutation (host argsort by track length)
-    trash,  # (KP,) tracks marked trash (never re-inserted)
     key,
     rot_thresh,  # radians, rotation-RANSAC inlier bound input
     num_hypotheses: int,
-    min_dist: float,
-    width: float,
-    height: float,
 ):
-    """Returns dict with final keep mask and rotation misalignment."""
+    """Returns dict with the essential-RANSAC status mask and the rotation
+    misalignment percentile. The track-length-priority Poisson re-filter
+    (reference frame.cpp:134-161) runs on HOST after the fetch
+    (ops/poisson_disk.poisson_disk_filter_np): it is a short sequential grid
+    loop, and the single TPU serializes all programs, so keeping it in this
+    program would cost ~5-8 ms of device scan time per frame."""
     f32 = jnp.float32
     b1 = b1.astype(f32)
     b2 = b2.astype(f32)
-    next_pix = next_pix.astype(f32)
 
     # --- 1. essential RANSAC mask (threshold 1.0 — reference frame.cpp:108) --
     k1, k2 = jax.random.split(key)
@@ -73,15 +69,7 @@ def ft_step(
     idx70 = jnp.clip(n_in * 7 // 10, 0, ang.shape[0] - 1)
     misalign = jnp.where(n_in > 0, ang_sorted[idx70], 0.0)
 
-    # --- 3. Poisson re-filter by track-length priority -----------------
-    pd_val = status[order] & ~trash[order]
-    acc = poisson_disk.poisson_disk_filter(
-        next_pix[order], pd_val, min_distance=min_dist, width=width, height=height
-    )
-    keep = jnp.zeros_like(status).at[order].set(acc)
-    final = status & keep & ~trash
-
     return {
-        "mask": final,
+        "mask": status,
         "misalign": misalign,
     }
