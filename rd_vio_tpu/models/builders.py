@@ -694,10 +694,13 @@ def solve_localize_subwindow(
     """Fused per-frame solve for the subframe path: ONE dispatch + ONE fetch
     instead of two (integrate + solve + fetch) sequences. Returns
     (BAResult of the subwindow solve, lm_slot of the subwindow problem)."""
-    pa_loc, _ = _assemble(spec_loc, caps, calib)
-    pa_sub, lm_slot = _assemble(spec_sub, caps, calib)
-    pa_loc = _cast_pa(pa_loc, dtype)
-    pa_sub = _cast_pa(pa_sub, dtype)
+    from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+
+    with _T.time("bld.sub.assemble"):
+        pa_loc, _ = _assemble(spec_loc, caps, calib)
+        pa_sub, lm_slot = _assemble(spec_sub, caps, calib)
+        pa_loc = _cast_pa(pa_loc, dtype)
+        pa_sub = _cast_pa(pa_sub, dtype)
     res = _fused_localize_subwindow_jit(
         pa_loc, pa_sub, j_slot, calib.tree, max_iterations=max_iterations
     )
@@ -865,12 +868,15 @@ def solve_window_validate_marginalize(
 
     Returns (res, lm_slot_w, valid_out_dev, new_prior); `valid_out_dev[i]`
     corresponds to tracks_v[i] (truncated at 2*caps.L)."""
+    from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+
     Lv = 2 * caps.L
     Ov = caps.O
     wslot = {f.id: i for i, f in enumerate(spec_w.frames)}
-    pa_w, lm_w = _assemble(spec_w, caps, calib)
-    va = _assemble_validation(tracks_v, frames_by_id, wslot, lm_w, calib, Lv, Ov)
-    pa_m, lm_m = _assemble(spec_m, caps, calib)
+    with _T.time("bld.wvm.assemble"):
+        pa_w, lm_w = _assemble(spec_w, caps, calib)
+        va = _assemble_validation(tracks_v, frames_by_id, wslot, lm_w, calib, Lv, Ov)
+        pa_m, lm_m = _assemble(spec_m, caps, calib)
     vti_of_tid = {t.id: i for i, t in enumerate(tracks_v[:Lv])}
     mlm_vti = np.full(caps.L, -1, np.int32)
     mlm_from_w = np.full(caps.L, -1, np.int32)

@@ -607,18 +607,41 @@ class SlidingWindowTracker:
 
     def _finish_marginalize_host(self, victim):
         """Host bookkeeping after the device marginalization: re-anchor
-        inverse depths of tracks losing their first frame, drop the victim."""
+        inverse depths of tracks losing their first frame, drop the victim.
+        Vectorized over tracks (the victim camera pose is shared; new-anchor
+        poses are cached per frame) — the per-track get/set_landmark_point
+        quat math costs ~0.3 ms each in small-op NumPy."""
         m = self.map
         frames_by_id = {f.id: f for f in m.all_frames()}
-        for t in list(m.tracks.values()):
-            if t.first_frame_id() == victim.id and t.tag(TT_TRIANGULATED) and t.inv_depth > 0:
-                x = builders.get_landmark_point(t, frames_by_id, self.calib)
+        cand = [
+            t for t in m.tracks.values()
+            if t.first_frame_id() == victim.id and t.tag(TT_TRIANGULATED)
+            and t.inv_depth > 0
+        ]
+        if cand:
+            q_bc, p_bc = self.calib.q_bc_h, self.calib.p_bc_h
+            qv, pv = victim.get_pose(q_bc, p_bc)
+            Rv = q_to_R(qv)
+            z0 = np.stack([victim.bearings[t.obs[victim.id]] for t in cand])
+            invd = np.array([t.inv_depth for t in cand])
+            x_all = (z0 / invd[:, None]) @ Rv.T + pv
+            cam_cache = {}
+            for t, x in zip(cand, x_all):
                 k = t.obs.pop(victim.id)
                 victim.track_ids[k] = -1
-                if t.obs and t.first_frame_id() in frames_by_id:
-                    builders.set_landmark_point(t, x, frames_by_id, self.calib)
-                elif not t.obs:
+                if not t.obs:
                     m.tracks.pop(t.id, None)
+                    continue
+                aid = t.first_frame_id()
+                if aid not in frames_by_id:
+                    continue
+                c = cam_cache.get(aid)
+                if c is None:
+                    qa, pa = frames_by_id[aid].get_pose(q_bc, p_bc)
+                    c = cam_cache[aid] = (q_to_R(qa), pa)
+                Ra, pa = c
+                d = np.linalg.norm(Ra.T @ (x - pa))
+                t.inv_depth = 1.0 / max(d, 1e-9)
         m.erase_frame(0)
 
     # ------------------------------------------------------------------
