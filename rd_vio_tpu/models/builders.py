@@ -730,18 +730,23 @@ def marginalize_spec(spec: BASpec, calib: CalibArrays, caps: Caps) -> F.PriorFac
 def _assemble_validation(
     tracks: List[Track], frames_by_id: Dict[int, Frame],
     wslot: Dict[int, int], lm_slot_w: Dict[int, int], calib: CalibArrays,
-    Lv: int, Ov: int,
+    Lv: int, Ov: int, tri_idx_of_tid: Optional[Dict[int, int]] = None,
 ):
     """NumPy arrays for on-device landmark validation (reference refine_window
     post-solve validation, sliding_window_tracker.cpp:304-336): per track the
     anchor camera pose (a window slot when the anchor is a window keyframe —
     resolved against the SOLVED states on device — or baked host constants),
-    and per keyframe observation the observing window slot + bearing."""
+    and per keyframe observation the observing window slot + bearing.
+
+    tri_idx_of_tid maps track id -> row in the in-program triangulation batch
+    (the fully-fused keyframe step): those tracks take their inverse depth
+    from the triangulation result and are gated on its success."""
     a_slot = np.full(Lv, -1, np.int32)
     a_qc = np.tile([1.0, 0, 0, 0], (Lv, 1))
     a_pc = np.zeros((Lv, 3))
     z0 = np.tile([0.0, 0, 1.0], (Lv, 1))
     lmw = np.full(Lv, -1, np.int32)
+    tri_idx = np.full(Lv, -1, np.int32)
     invd_h = np.ones(Lv)
     has = np.zeros(Lv, bool)
     o_ti = np.zeros(Ov, np.int32)
@@ -762,6 +767,8 @@ def _assemble_validation(
         if s < 0:
             a_qc[ti], a_pc[ti] = af.get_pose(q_bc, p_bc)
         lmw[ti] = lm_slot_w.get(t.id, -1)
+        if tri_idx_of_tid is not None:
+            tri_idx[ti] = tri_idx_of_tid.get(t.id, -1)
         invd_h[ti] = t.inv_depth
         for fid, k in t.obs.items():
             if fid not in wslot:
@@ -777,16 +784,19 @@ def _assemble_validation(
     Km = calib.K
     return {
         "a_slot": a_slot, "a_qc": a_qc, "a_pc": a_pc, "z0": z0,
-        "lmw": lmw, "invd_h": invd_h, "has": has,
+        "lmw": lmw, "tri_idx": tri_idx, "invd_h": invd_h, "has": has,
         "o_ti": o_ti, "o_slot": o_slot, "o_z": o_z, "o_val": o_val,
         "fxy": np.array([Km[0, 0], Km[1, 1]]),
     }
 
 
-def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics):
+def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics,
+                            tri_invd=None, tri_ok=None):
     """Vectorized landmark validation at the solved states: depth in
     (1e-3, 50] at every keyframe observation and mean pixel reprojection
-    error < 3 px (reference :304-336)."""
+    error < 3 px (reference :304-336). tri_invd/tri_ok (fully-fused keyframe
+    step): tracks triangulated in-program take their depth from tri_invd and
+    are additionally gated on tri_ok."""
     from rd_vio_tpu.ops.lie import quat_conj, quat_mul, quat_rotate
 
     a_slot = jnp.asarray(va["a_slot"])
@@ -800,6 +810,10 @@ def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics):
     pc = jnp.where(use_w[:, None], pb_ + quat_rotate(qb, p_bc), jnp.asarray(va["a_pc"]))
     lmw = jnp.asarray(va["lmw"])
     invd = jnp.where(lmw >= 0, invd64[jnp.clip(lmw, 0)], jnp.asarray(va["invd_h"]))
+    if tri_invd is not None:
+        ti = jnp.asarray(va["tri_idx"])
+        from_tri = (ti >= 0) & (lmw < 0)
+        invd = jnp.where(from_tri, tri_invd[jnp.clip(ti, 0)], invd)
     z0 = jnp.asarray(va["z0"])
     x = quat_rotate(qc, z0 / jnp.maximum(invd, 1e-12)[:, None]) + pc
 
@@ -824,9 +838,11 @@ def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics):
     cnt = jax.ops.segment_sum(ov.astype(f64), o_ti, num_segments=Lv)
     nbad = jax.ops.segment_sum((ov & depth_bad).astype(f64), o_ti, num_segments=Lv)
     mean_rpe = sum_rpe / jnp.maximum(cnt, 1.0)
-    return (
-        jnp.asarray(va["has"]) & (invd > 0) & (nbad == 0) & (mean_rpe < 3.0)
-    )
+    out = jnp.asarray(va["has"]) & (invd > 0) & (nbad == 0) & (mean_rpe < 3.0)
+    if tri_ok is not None:
+        ti = jnp.asarray(va["tri_idx"])
+        out = out & ((ti < 0) | tri_ok[jnp.clip(ti, 0)])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
@@ -855,6 +871,159 @@ def _fused_window_tail_jit(pa_w, prior, va, pa_m, mlm_vti, mlm_from_w, calib,
     pb_m = pb_m._replace(reproj=rp._replace(valid=rp.valid & lm_ok[rp.lm]))
     new_prior = marginalization.marginalize_frame0(s64, invd_m, pb_m)
     return res, valid_out, new_prior
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _fused_keyframe_jit(
+    pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
+    pa_w, j_w, wlm_tri, prior, va, pa_m, mlm_vti, mlm_from_w, mlm_tri,
+    calib, max_iterations,
+):
+    """The ENTIRE sliding-keyframe step as one device program (reference
+    track() keyframe branch :80-99): localization solve -> triangulation of
+    pending tracks -> window VI-BA (new-frame state and fresh inverse depths
+    chained in, factors of failed triangulations gated off) -> landmark
+    validation -> slot-0 marginalization. One dispatch, one fetch."""
+    from rd_vio_tpu.estimation import marginalization
+    from rd_vio_tpu.ops.lie import quat_conj, quat_mul, quat_rotate
+
+    f64 = jnp.float64
+
+    # --- 1. localize the new frame -------------------------------------
+    s_loc, invd_loc, pb_loc = _finalize_problem(pa_loc, calib, None, False)
+    res_loc = ba.solve_ba(s_loc, invd_loc, pb_loc, max_iterations=max_iterations)
+
+    # --- 2. triangulate pending tracks (f64), solved-frame views chained --
+    q0 = res_loc.states.q[0].astype(f64)
+    p0 = res_loc.states.p[0].astype(f64)
+    qc0 = quat_mul(q0, calib.ext.q_bc)
+    pc0 = p0 + quat_rotate(q0, calib.ext.p_bc)
+    qcw_j = quat_conj(qc0)
+    pcw_j = -quat_rotate(qcw_j, pc0)
+    sel = us[..., None] > 0
+    qcw = jnp.where(sel, qcw_j[None, None, :], qcw)
+    pcw = jnp.where(sel, pcw_j[None, None, :], pcw)
+    pts, tri_ok = jax.vmap(tri.triangulate_homogeneous)(b, qcw, pcw, m_tri)
+    # inverse depth along the anchor bearing (reference track.cpp:90-101)
+    y_a = quat_rotate(quat_conj(tri_aqc), pts - tri_apc)
+    d_a = jnp.linalg.norm(y_a, axis=-1)
+    tri_invd = 1.0 / jnp.maximum(d_a, 1e-9)
+    tri_ok = tri_ok & jnp.isfinite(tri_invd)
+
+    # --- 3. window solve with chained state + fresh depths ---------------
+    s_w, invd_w, pb_w = _finalize_problem(pa_w, calib, prior, True)
+    dtype_w = s_w.q.dtype
+    mask_j = (jnp.arange(s_w.q.shape[0]) == j_w)
+    sl = res_loc.states
+
+    def seed(a_w, a_l):
+        return jnp.where(
+            mask_j.reshape((-1,) + (1,) * (a_w.ndim - 1)),
+            a_l[0].astype(dtype_w)[None], a_w,
+        )
+
+    s_w = FrameStates(
+        q=seed(s_w.q, sl.q), p=seed(s_w.p, sl.p), v=seed(s_w.v, sl.v),
+        bg=seed(s_w.bg, sl.bg), ba=seed(s_w.ba, sl.ba),
+    )
+    has_tri = wlm_tri >= 0
+    invd_w = jnp.where(
+        has_tri, tri_invd[jnp.clip(wlm_tri, 0)].astype(dtype_w), invd_w
+    )
+    lm_gate = (~has_tri) | tri_ok[jnp.clip(wlm_tri, 0)]
+    rp_w = pb_w.reproj
+    pb_w = pb_w._replace(
+        opt_lm=pb_w.opt_lm & lm_gate,
+        reproj=rp_w._replace(valid=rp_w.valid & lm_gate[rp_w.lm]),
+    )
+    res = ba.solve_ba(s_w, invd_w, pb_w, max_iterations=max_iterations)
+
+    # --- 4. validation (tri-aware) + 5. marginalization ------------------
+    s64 = FrameStates(*(a.astype(f64) for a in res.states))
+    invd64 = res.inv_depth.astype(f64)
+    valid_out = _validate_tracks_device(
+        va, s64, invd64, calib.ext, tri_invd=tri_invd, tri_ok=tri_ok
+    )
+    s_m, invd_m, pb_m = _finalize_problem(pa_m, calib, prior, True)
+    from_w = mlm_from_w >= 0
+    invd_m = jnp.where(from_w, invd64[jnp.clip(mlm_from_w, 0)], invd_m)
+    from_t = (mlm_tri >= 0) & ~from_w
+    invd_m = jnp.where(from_t, tri_invd[jnp.clip(mlm_tri, 0)], invd_m)
+    lm_ok = (mlm_vti >= 0) & valid_out[jnp.clip(mlm_vti, 0)] & (invd_m > 0)
+    rp = pb_m.reproj
+    pb_m = pb_m._replace(reproj=rp._replace(valid=rp.valid & lm_ok[rp.lm]))
+    new_prior = marginalization.marginalize_frame0(s64, invd_m, pb_m)
+    return res, res_loc, valid_out, tri_ok, tri_invd, new_prior
+
+
+def solve_keyframe_fused(
+    spec_loc: BASpec, pending: List[Track], spec_w: BASpec,
+    tracks_v: List[Track], spec_m: BASpec,
+    frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps,
+    caps_loc: Optional[Caps] = None, dtype=None, loc_dtype=None,
+    max_iterations: int = 10,
+):
+    """Fully-fused sliding-keyframe step: ONE dispatch + ONE fetch for
+    localize + triangulate + window solve + validation + marginalization.
+
+    spec_w must already include `pending` tracks (their factors are gated
+    on-device by triangulation success). Returns
+    (res, res_loc, lm_w, valid_h, tri_ok_h, tri_invd_h, new_prior) with the
+    three *_h arrays host-fetched alongside the solve results."""
+    from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+
+    Lv = 2 * caps.L
+    Ov = caps.O
+    solved_fid = spec_loc.frames[0].id
+    wslot = {f.id: i for i, f in enumerate(spec_w.frames)}
+    with _T.time("bld.kf.assemble"):
+        pa_loc, _ = _assemble(spec_loc, caps_loc or caps, calib)
+        pa_loc = _cast_pa(pa_loc, loc_dtype or dtype)
+        b, qcw, pcw, m_tri, us = assemble_triangulation(
+            pending, frames_by_id, calib, caps, solved_frame_id=solved_fid
+        )
+        # per-pending anchor CAMERA pose (triangulation-time = pre-window
+        # host poses; the anchor is never the localized frame itself since a
+        # triangulable track has an older first observation)
+        n_cap = b.shape[0]
+        tri_aqc = np.tile([1.0, 0, 0, 0], (n_cap, 1))
+        tri_apc = np.zeros((n_cap, 3))
+        q_bc, p_bc = calib.q_bc_h, calib.p_bc_h
+        for i, t in enumerate(pending[:n_cap]):
+            af = frames_by_id.get(t.first_frame_id())
+            if af is not None:
+                tri_aqc[i], tri_apc[i] = af.get_pose(q_bc, p_bc)
+        tri_idx_of_tid = {t.id: i for i, t in enumerate(pending[:n_cap])}
+
+        pa_w, lm_w = _assemble(spec_w, caps, calib)
+        pa_w = _cast_pa(pa_w, dtype)
+        wlm_tri = np.full(caps.L, -1, np.int32)
+        for tid, s in lm_w.items():
+            wlm_tri[s] = tri_idx_of_tid.get(tid, -1)
+        j_w = wslot.get(solved_fid, -1)
+
+        va = _assemble_validation(
+            tracks_v, frames_by_id, wslot, lm_w, calib, Lv, Ov,
+            tri_idx_of_tid=tri_idx_of_tid,
+        )
+        pa_m, lm_m = _assemble(spec_m, caps, calib)
+        vti_of_tid = {t.id: i for i, t in enumerate(tracks_v[:Lv])}
+        mlm_vti = np.full(caps.L, -1, np.int32)
+        mlm_from_w = np.full(caps.L, -1, np.int32)
+        mlm_tri = np.full(caps.L, -1, np.int32)
+        for tid, s in lm_m.items():
+            mlm_vti[s] = vti_of_tid.get(tid, -1)
+            mlm_from_w[s] = lm_w.get(tid, -1)
+            mlm_tri[s] = tri_idx_of_tid.get(tid, -1)
+
+    res, res_loc, valid_out, tri_ok, tri_invd, new_prior = _fused_keyframe_jit(
+        pa_loc, jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw),
+        jnp.asarray(m_tri), jnp.asarray(us), jnp.asarray(tri_aqc),
+        jnp.asarray(tri_apc), pa_w, j_w, jnp.asarray(wlm_tri), spec_w.prior,
+        va, pa_m, jnp.asarray(mlm_vti), jnp.asarray(mlm_from_w),
+        jnp.asarray(mlm_tri), calib.tree, max_iterations=max_iterations,
+    )
+    return res, res_loc, lm_w, valid_out, tri_ok, tri_invd, new_prior
 
 
 def solve_window_validate_marginalize(

@@ -142,7 +142,7 @@ class SlidingWindowTracker:
             # capture the localization problem BEFORE the keyframe mutations
             # (reference order localize -> manage; the problem reads only
             # pre-manage structure and states, so capturing it here and
-            # executing it fused with triangulation is equivalent)
+            # executing it fused with the rest of the step is equivalent)
             m = self.map
             frame_i = m.get_frame(m.frame_num - 2)
             if frame_i.subframes:
@@ -151,12 +151,22 @@ class SlidingWindowTracker:
             spec_loc = self._localize_spec(frame_i, frame_j)
             kf = self.manage_keyframe()
             assert kf, "keyframe decision disagreed with manage_keyframe"
-            with T.time("swt.localize_triangulate"):
-                self.track_landmark(spec_loc=spec_loc)
-            with T.time("swt.refine_window"):
-                self.refine_window()
-            with T.time("swt.marginalize"):
-                self.slide_window()
+            if (self.dist_mesh is None
+                    and m.frame_num > self.config.sliding_window_size):
+                # steady state: the ENTIRE keyframe step as one device
+                # program (localize + triangulate + window BA + validation +
+                # marginalization) — one dispatch, one fetch
+                with T.time("swt.keyframe_fused"):
+                    self._keyframe_fused(spec_loc, frame_j)
+                with T.time("swt.marginalize"):
+                    self.slide_window()
+            else:
+                with T.time("swt.localize_triangulate"):
+                    self.track_landmark(spec_loc=spec_loc)
+                with T.time("swt.refine_window"):
+                    self.refine_window()
+                with T.time("swt.marginalize"):
+                    self.slide_window()
         else:
             keyframe_i = self.map.get_frame(self.map.frame_num - 2)
             keyframe_i.subframes.append(self.map.detach_frame(self.map.frame_num - 1))
@@ -329,27 +339,40 @@ class SlidingWindowTracker:
         accs.append(frame_j.imu_a)
         return (np.concatenate(dts), np.concatenate(ws), np.concatenate(accs))
 
-    def refine_window(self):
-        """Full-window VI-BA (reference :226-337)."""
+    def _window_spec(self, frames, frames_by_id, pending=()):
+        """Full-window VI-BA problem (reference :226-337). `pending` tracks
+        (not yet triangulated; the fully-fused keyframe step triangulates them
+        in-program) are included with keyframe anchors; their factors are
+        gated on-device by triangulation success."""
         m = self.map
-        frames = list(m.frames)
         fid_set = {f.id for f in frames}
-        frames_by_id = {f.id: f for f in m.all_frames()}
+        pending_ids = set()
 
         opt_tracks = []
         for t in m.tracks.values():
-            if not (t.tag(TT_VALID) and t.tag(TT_STATIC)):
+            if not (t.tag(TT_VALID) and t.tag(TT_STATIC) and t.tag(TT_TRIANGULATED)):
                 continue
             anchor = frames_by_id.get(t.first_frame_id())
             if anchor is None or not anchor.tag(FT_KEYFRAME):
                 continue
             opt_tracks.append(t)
+        for t in pending:
+            anchor = frames_by_id.get(t.first_frame_id())
+            if anchor is None or not anchor.tag(FT_KEYFRAME):
+                continue
+            opt_tracks.append(t)
+            pending_ids.add(t.id)
 
         reproj = []
         for f in frames:
             for k in range(f.keypoint_num):
                 t = m.get_track(f, k)
-                if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
+                if t is None:
+                    continue
+                if not (
+                    t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC)
+                    or t.id in pending_ids
+                ):
                     continue
                 aid = t.first_frame_id()
                 if aid == f.id or aid not in fid_set:
@@ -371,13 +394,20 @@ class SlidingWindowTracker:
                 self.caps.W, builders._frame_states(frames, self.caps.W)
             )
 
-        spec = builders.BASpec(
+        return builders.BASpec(
             frames=frames,
             fix_pose=[False] * len(frames),
             fix_motion=[False] * len(frames),
-            opt_tracks=[t for t in opt_tracks if t.tag(TT_TRIANGULATED)],
+            opt_tracks=opt_tracks,
             reproj=reproj, imu=imu, rot=[], prior=self.prior,
         )
+
+    def refine_window(self):
+        """Full-window VI-BA (reference :226-337)."""
+        m = self.map
+        frames = list(m.frames)
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        spec = self._window_spec(frames, frames_by_id)
         if self.dist_mesh is None and m.frame_num > self.config.sliding_window_size:
             # the window will slide right after this solve: run the whole
             # keyframe tail (solve + validation + marginalization) as one
@@ -496,6 +526,84 @@ class SlidingWindowTracker:
             if not t.tag(TT_VALID):
                 t.set_tag(TT_TRASH, True)
 
+    def _keyframe_fused(self, spec_loc, frame_j):
+        """Fully-fused sliding-keyframe step (see builders.solve_keyframe_fused):
+        mirrors track_landmark + refine_window + _validate_landmarks + the
+        device part of slide_window's first marginalization."""
+        m = self.map
+        frames = list(m.frames)
+        frames_by_id = {f.id: f for f in m.all_frames()}
+        newframe = frames[-1]
+
+        # pending tracks of the new keyframe (reference track_landmark :204-224)
+        pending = []
+        for k in range(newframe.keypoint_num):
+            t = m.get_track(newframe, k)
+            if t is not None and not t.tag(TT_TRIANGULATED):
+                pending.append(t)
+        pending = pending[: self.caps.L]
+        pending_ids = {t.id for t in pending}
+
+        spec_w = self._window_spec(frames, frames_by_id, pending=pending)
+        tracks_v = [t for t in m.tracks.values() if t.tag(TT_TRIANGULATED)]
+        tracks_v += pending
+        spec_m = self._marg_spec(
+            frames, frames_by_id, require_valid=False, pending_ids=pending_ids
+        )
+
+        res, res_loc, lm_w, valid_dev, ok_dev, tri_dev, new_prior = (
+            builders.solve_keyframe_fused(
+                spec_loc, pending, spec_w, tracks_v, spec_m, frames_by_id,
+                self.calib, self.caps, caps_loc=self.caps_fast,
+                dtype=self._window_dtype, loc_dtype=self._fast_dtype,
+                max_iterations=self.config.solver_iteration_limit,
+            )
+        )
+        s = res.states
+        sl = res_loc.states
+        (q, p, v, bg, ba_, invd_h, lq, lp, lv, lbg, lba,
+         valid_h, ok_h, tri_h) = fetch(
+            (s.q, s.p, s.v, s.bg, s.ba, res.inv_depth,
+             sl.q, sl.p, sl.v, sl.bg, sl.ba, valid_dev, ok_dev, tri_dev)
+        )
+        # localize result (frame_j may be a subframe outside the window)
+        frame_j.q, frame_j.p, frame_j.v = lq[0], lp[0], lv[0]
+        frame_j.bg, frame_j.ba = lbg[0], lba[0]
+        # window states + optimized inverse depths
+        for i, f in enumerate(spec_w.frames):
+            f.q, f.p, f.v, f.bg, f.ba = q[i], p[i], v[i], bg[i], ba_[i]
+        by_id = {t.id: t for t in spec_w.opt_tracks}
+        for tid, sl_i in lm_w.items():
+            t = by_id.get(tid)
+            if t is not None and tid not in pending_ids:
+                t.inv_depth = float(invd_h[sl_i])
+        # pending-track outcomes (mirror track_landmark :299-309)
+        for i, t in enumerate(pending):
+            if ok_h[i]:
+                sl_i = lm_w.get(t.id)
+                t.inv_depth = (
+                    float(invd_h[sl_i]) if sl_i is not None else float(tri_h[i])
+                )
+                t.set_tag(TT_TRIANGULATED, True)
+                t.set_tag(TT_VALID, True)
+                t.set_tag(TT_STATIC, True)
+                t.life = 1
+            else:
+                t.inv_depth = -1.0
+                t.set_tag(TT_TRIANGULATED, False)
+                t.set_tag(TT_VALID, False)
+        # validation side effects (mirror _validate_landmarks)
+        for t in m.tracks.values():
+            if not t.tag(TT_TRIANGULATED):
+                t.inv_depth = -1.0
+        for ti, t in enumerate(tracks_v[: len(valid_h)]):
+            if t.tag(TT_TRIANGULATED):
+                t.set_tag(TT_VALID, bool(valid_h[ti]))
+        for t in m.tracks.values():
+            if not t.tag(TT_VALID):
+                t.set_tag(TT_TRASH, True)
+        self._pending_prior = new_prior  # consumed by slide_window
+
     def _refine_window_fused_tail(self, spec, frames, frames_by_id):
         """Fused keyframe tail: window solve + on-device landmark validation +
         slot-0 marginalization in one program; apply results back on host."""
@@ -550,11 +658,14 @@ class SlidingWindowTracker:
             else:
                 self._marginalize_frame0()
 
-    def _marg_spec(self, frames, frames_by_id, require_valid: bool = True):
+    def _marg_spec(self, frames, frames_by_id, require_valid: bool = True,
+                   pending_ids=frozenset()):
         """Marginalization problem for window slot 0 (reference
         ceres/marginalization_factor.h:237-283): reprojection factors of
         victim-anchored (keyframe-anchor) tracks + the adjacent keyframe
-        preintegration factor + the current prior."""
+        preintegration factor + the current prior. `pending_ids`: tracks being
+        triangulated in-program (fused keyframe step) — included here and
+        gated on-device."""
         m = self.map
         victim = frames[0]
         fid_set = {f.id for f in frames}
@@ -563,7 +674,9 @@ class SlidingWindowTracker:
         tracks = []
         for k in range(victim.keypoint_num):
             t = m.get_track(victim, k)
-            if t is None or not t.tag(TT_TRIANGULATED):
+            if t is None:
+                continue
+            if not (t.tag(TT_TRIANGULATED) or t.id in pending_ids):
                 continue
             if require_valid and (not t.tag(TT_VALID) or t.inv_depth <= 0):
                 continue
