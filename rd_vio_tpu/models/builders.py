@@ -1213,6 +1213,24 @@ def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
     return qrot(qc, z / track.inv_depth) + pc
 
 
+def get_landmark_points_batch(tracks: List[Track], frames_by_id, calib: CalibArrays):
+    """World points of many tracks at once (anchor camera poses computed once
+    per distinct anchor frame; the per-track quat math of get_landmark_point
+    costs ~0.1-0.3 ms each in small-op NumPy)."""
+    out = np.zeros((len(tracks), 3))
+    by_aid: Dict[int, list] = {}
+    for i, t in enumerate(tracks):
+        by_aid.setdefault(t.first_frame_id(), []).append(i)
+    for aid, idxs in by_aid.items():
+        f = frames_by_id[aid]
+        qc, pc = f.get_pose(calib.q_bc_h, calib.p_bc_h)
+        R = q_to_R(qc)
+        z = np.stack([f.bearings[tracks[i].obs[aid]] for i in idxs])
+        d = np.array([tracks[i].inv_depth for i in idxs])
+        out[idxs] = (z / d[:, None]) @ R.T + pc
+    return out
+
+
 def set_landmark_point(track: Track, x_world, frames_by_id, calib: CalibArrays):
     fid = track.first_frame_id()
     f = frames_by_id[fid]

@@ -922,6 +922,7 @@ class SlidingWindowTracker:
         lens = np.zeros(Ncap)
         valid = np.zeros(Ncap, bool)
         kp_of_slot = {}
+        sel_tracks = []
         n = 0
         for k in range(curr.keypoint_num):
             t = m.get_track(curr, k)
@@ -933,13 +934,16 @@ class SlidingWindowTracker:
                 break
             b = curr.bearings[k]
             P2D[n] = b[:2] / b[2]
-            P3D[n] = builders.get_landmark_point(t, frames_by_id, self.calib)
             lens[n] = max(t.life, 0)
             kp_of_slot[n] = k
+            sel_tracks.append(t)
             valid[n] = True
             n += 1
         if n < 20:
             return False
+        P3D[:n] = builders.get_landmark_points_batch(
+            sel_tracks, frames_by_id, self.calib
+        )
 
         q_bc = self.calib.q_bc_h
         p_bc = self.calib.p_bc_h
@@ -966,18 +970,40 @@ class SlidingWindowTracker:
         E = np.cross(np.eye(3), t_rel) @ R if False else _hat(t_rel) @ R
         F_mat = np.linalg.inv(Km).T @ E @ np.linalg.inv(Km)
 
-        in_d, out_d = [], []
+        slots, bks, bcs = [], [], []
         for s, k in kp_of_slot.items():
             t = m.get_track(curr, k)
             j = t.obs.get(keyframe.id)
             if j is None:
                 continue
-            bk = keyframe.bearings[j]
-            bc = curr.bearings[k]
-            p1 = np.array([bk[0] / bk[2] * Km[0, 0] + Km[0, 2], bk[1] / bk[2] * Km[1, 1] + Km[1, 2]])
-            p2 = np.array([bc[0] / bc[2] * Km[0, 0] + Km[0, 2], bc[1] / bc[2] * Km[1, 1] + Km[1, 2]])
-            err = _epipolar_dist(F_mat, p1, p2) + _epipolar_dist(F_mat.T, p2, p1)
-            (in_d if mask[s] else out_d).append(err)
+            slots.append(s)
+            bks.append(keyframe.bearings[j])
+            bcs.append(curr.bearings[k])
+        if not slots:
+            return False
+        bks = np.stack(bks)
+        bcs = np.stack(bcs)
+        # pixel homogeneous coords + symmetric epipolar distances, vectorized
+        def _pix_h(b):
+            return np.stack([
+                b[:, 0] / b[:, 2] * Km[0, 0] + Km[0, 2],
+                b[:, 1] / b[:, 2] * Km[1, 1] + Km[1, 2],
+                np.ones(len(b)),
+            ], axis=-1)
+        h1 = _pix_h(bks)
+        h2 = _pix_h(bcs)
+        l12 = h1 @ F_mat.T  # lines in image 2
+        l21 = h2 @ F_mat    # lines in image 1
+        d12 = np.abs(np.sum(h2 * l12, axis=-1)) / np.maximum(
+            np.linalg.norm(l12[:, :2], axis=-1), 1e-12
+        )
+        d21 = np.abs(np.sum(h1 * l21, axis=-1)) / np.maximum(
+            np.linalg.norm(l21[:, :2], axis=-1), 1e-12
+        )
+        errs = d12 + d21
+        in_mask = mask[np.asarray(slots)]
+        in_d = errs[in_mask]
+        out_d = errs[~in_mask]
 
         if len(in_d) < 20 or len(out_d) < 20:
             return False
@@ -1078,12 +1104,14 @@ class SlidingWindowTracker:
 
     def get_landmarks(self):
         frames_by_id = {f.id: f for f in self.map.all_frames()}
-        pts = []
-        for t in self.map.tracks.values():
-            if t.all_tagged(TT_VALID, TT_TRIANGULATED) and t.inv_depth > 0:
-                if t.first_frame_id() in frames_by_id:
-                    pts.append(builders.get_landmark_point(t, frames_by_id, self.calib))
-        return asnp(pts) if pts else np.zeros((0, 3))
+        sel = [
+            t for t in self.map.tracks.values()
+            if t.all_tagged(TT_VALID, TT_TRIANGULATED) and t.inv_depth > 0
+            and t.first_frame_id() in frames_by_id
+        ]
+        if not sel:
+            return np.zeros((0, 3))
+        return builders.get_landmark_points_batch(sel, frames_by_id, self.calib)
 
 
 def _hat(v):
