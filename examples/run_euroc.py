@@ -14,6 +14,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "JAX_PLATFORMS" in os.environ:
+    # honor the env var even when a site plugin force-sets jax_platforms
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 

@@ -16,6 +16,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "JAX_PLATFORMS" in os.environ:
+    # honor the env var even when a site plugin force-sets jax_platforms
+    # (e.g. a TPU relay plugin that would otherwise block retrying a dead
+    # tunnel at backend init)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from rd_vio_tpu.config import Config

@@ -174,8 +174,7 @@ def predict_frame(frame_prev: Frame, frame: Frame, calib: CalibArrays, cap: int)
     """Preintegrate frame's interval at prev biases and propagate the state
     (reference mirror_frame tail / judge_track_status head). Mean-only math,
     fully host-side: covariance/bias Jacobians are only needed by BA factors
-    (which integrate on-device); doing the ~10-sample mean loop in NumPy saves
-    one device dispatch + fetch per call on the per-frame hot path."""
+    (integrated by the native host preintegrator during assembly)."""
     from rd_vio_tpu.ops import preintegration_np as pre_np
 
     frame.q, frame.p, frame.v = pre_np.predict_frame_mean(

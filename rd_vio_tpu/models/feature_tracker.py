@@ -29,7 +29,7 @@ from rd_vio_tpu.models.map import (
     FT_NO_TRANSLATION, Frame, Map, TT_TRASH,
 )
 from rd_vio_tpu.models.quat_np import q_to_R, qconj, qmul, qrot
-from rd_vio_tpu.ops import poisson_disk, ransac
+from rd_vio_tpu.ops import poisson_disk
 
 
 class ImageBackend(Protocol):

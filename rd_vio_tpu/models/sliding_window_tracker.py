@@ -967,7 +967,7 @@ class SlidingWindowTracker:
         # epipolar-distance separation between inliers/outliers (reference
         # :643-700) using the IMU-predicted relative pose
         R, t_rel = self._predict_RT(keyframe, curr)
-        E = np.cross(np.eye(3), t_rel) @ R if False else _hat(t_rel) @ R
+        E = _hat(t_rel) @ R
         F_mat = np.linalg.inv(Km).T @ E @ np.linalg.inv(Km)
 
         slots, bks, bcs = [], [], []
@@ -1116,9 +1116,3 @@ class SlidingWindowTracker:
 
 def _hat(v):
     return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
-
-
-def _epipolar_dist(F_mat, p1, p2):
-    l = F_mat @ np.array([p1[0], p1[1], 1.0])
-    denom = np.linalg.norm(l[:2])
-    return abs(np.array([p2[0], p2[1], 1.0]) @ l) / max(denom, 1e-12)
