@@ -22,6 +22,31 @@ import numpy as np
 GRAVITY_NOMINAL = 9.80665  # reference: src/rdvio/include/rdvio/types.h:26
 
 
+# typed config exceptions (reference yaml_config.h:10-27): a miscalibrated
+# silent run is worse than a crash, so missing mandatory sensor keys raise
+class ConfigError(RuntimeError):
+    """Base class for configuration errors."""
+
+
+class ConfigLoadError(ConfigError):
+    def __init__(self, filename: str):
+        super().__init__(f"cannot load config {filename}")
+
+
+class ConfigParseError(ConfigError):
+    pass
+
+
+class ConfigMissingError(ConfigError):
+    def __init__(self, config_path: str):
+        super().__init__(f'config "{config_path}" is mandatory')
+
+
+class ConfigTypeError(ConfigError):
+    def __init__(self, config_path: str):
+        super().__init__(f'config "{config_path}" has wrong type')
+
+
 def _xyzw_to_wxyz(q_xyzw) -> np.ndarray:
     q = np.asarray(q_xyzw, dtype=np.float64)
     return np.array([q[3], q[0], q[1], q[2]], dtype=np.float64)
@@ -163,10 +188,16 @@ def _load_opencv_yaml(path: str) -> dict:
     """Load an OpenCV-style YAML (tolerates the '%YAML:1.0' directive)."""
     import yaml
 
-    with open(path, "r") as f:
-        text = f.read()
+    try:
+        with open(path, "r") as f:
+            text = f.read()
+    except OSError as e:
+        raise ConfigLoadError(path) from e
     lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
-    return yaml.safe_load(io.StringIO("\n".join(lines))) or {}
+    try:
+        return yaml.safe_load(io.StringIO("\n".join(lines))) or {}
+    except yaml.YAMLError as e:
+        raise ConfigParseError(str(e)) from e
 
 
 def load_config(sensor_yaml: Optional[str] = None, setting_yaml: Optional[str] = None) -> Config:
@@ -254,52 +285,60 @@ def _apply_settings(cfg: Config, d: dict) -> None:
     set_if("parsac_keyframe_check_size", "parsac", "keyframe_check_size", cast=int)
 
 
+def _require(d: dict, *path):
+    """Mandatory sensor-calibration key (reference yaml_config.cpp:141-201
+    passes required=true for these): raise instead of silently keeping a
+    default — a miscalibrated silent run is worse than a crash."""
+    v = _get(d, *path)
+    if v is None:
+        raise ConfigMissingError(".".join(path))
+    return v
+
+
 def _apply_sensor(cfg: Config, d: dict) -> None:
-    # imu block (reference yaml_config.cpp:141-201)
-    q_bi = _get(d, "imu", "extrinsic", "q_bi")
-    if q_bi is not None:
-        cfg.imu_to_body_rotation = _xyzw_to_wxyz(q_bi)
-    p_bi = _get(d, "imu", "extrinsic", "p_bi")
-    if p_bi is not None:
-        cfg.imu_to_body_translation = np.asarray(p_bi, dtype=np.float64)
+    # imu block (reference yaml_config.cpp:141-201; all keys mandatory)
+    cfg.imu_to_body_rotation = _xyzw_to_wxyz(_require(d, "imu", "extrinsic", "q_bi"))
+    cfg.imu_to_body_translation = np.asarray(
+        _require(d, "imu", "extrinsic", "p_bi"), dtype=np.float64
+    )
     for attr, key in [
         ("gyroscope_noise_cov", "cov_g"),
         ("accelerometer_noise_cov", "cov_a"),
         ("gyroscope_bias_noise_cov", "cov_bg"),
         ("accelerometer_bias_noise_cov", "cov_ba"),
     ]:
-        v = _get(d, "imu", "noise", key)
-        if v is not None:
+        v = _require(d, "imu", "noise", key)
+        try:
             setattr(cfg, attr, np.asarray(v, dtype=np.float64).reshape(3, 3))
+        except (TypeError, ValueError) as e:
+            raise ConfigTypeError(f"imu.noise.{key}") from e
 
-    # cam0 block
-    intr = _get(d, "cam0", "intrinsics")
-    if intr is not None:
+    # cam0 block (mandatory per reference yaml_config.cpp:141-178)
+    intr = _require(d, "cam0", "intrinsics")
+    try:
         fu, fv, cu, cv = [float(x) for x in intr]
-        cfg.camera_intrinsic = np.array(
-            [[fu, 0.0, cu], [0.0, fv, cv], [0.0, 0.0, 1.0]]
-        )
-    res = _get(d, "cam0", "resolution")
-    if res is not None:
-        cfg.camera_resolution = (int(res[0]), int(res[1]))
-    flag = _get(d, "cam0", "camera_distortion_flag")
-    if flag is not None:
-        cfg.camera_distortion_flag = int(flag)
-    dist_model = _get(d, "cam0", "distortion_model")
+    except (TypeError, ValueError) as e:
+        raise ConfigTypeError("cam0.intrinsics") from e
+    cfg.camera_intrinsic = np.array(
+        [[fu, 0.0, cu], [0.0, fv, cv], [0.0, 0.0, 1.0]]
+    )
+    res = _require(d, "cam0", "resolution")
+    cfg.camera_resolution = (int(res[0]), int(res[1]))
+    cfg.camera_distortion_flag = int(_require(d, "cam0", "camera_distortion_flag"))
+    dist_model = _get(d, "cam0", "distortion_model")  # optional (repo addition)
     if dist_model is not None:
         cfg.camera_distortion_model = str(dist_model)
-    dist = _get(d, "cam0", "distortion")
-    if dist is not None:
-        cfg.camera_distortion = np.asarray(dist, dtype=np.float64)[:4]
-    toff = _get(d, "cam0", "time_offset")
-    if toff is not None:
-        cfg.camera_time_offset = float(toff)
-    q_bc = _get(d, "cam0", "extrinsic", "q_bc")
-    if q_bc is not None:
-        cfg.camera_to_body_rotation = _xyzw_to_wxyz(q_bc)
-    p_bc = _get(d, "cam0", "extrinsic", "p_bc")
-    if p_bc is not None:
-        cfg.camera_to_body_translation = np.asarray(p_bc, dtype=np.float64)
-    noise = _get(d, "cam0", "noise")
-    if noise is not None:
-        cfg.keypoint_noise_cov = np.asarray(noise, dtype=np.float64).reshape(2, 2)
+    cfg.camera_distortion = np.asarray(
+        _require(d, "cam0", "distortion"), dtype=np.float64
+    )[:4]
+    cfg.camera_time_offset = float(_require(d, "cam0", "time_offset"))
+    cfg.camera_to_body_rotation = _xyzw_to_wxyz(_require(d, "cam0", "extrinsic", "q_bc"))
+    cfg.camera_to_body_translation = np.asarray(
+        _require(d, "cam0", "extrinsic", "p_bc"), dtype=np.float64
+    )
+    try:
+        cfg.keypoint_noise_cov = np.asarray(
+            _require(d, "cam0", "noise"), dtype=np.float64
+        ).reshape(2, 2)
+    except (TypeError, ValueError) as e:
+        raise ConfigTypeError("cam0.noise") from e

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -752,6 +753,14 @@ def _assemble_validation(
     o_slot = np.zeros(Ov, np.int32)
     o_z = np.tile([0.0, 0, 1.0], (Ov, 1))
     o_val = np.zeros(Ov, bool)
+    # tracks whose observations were truncated by the Ov budget fail closed:
+    # a zero/partial-obs validation would otherwise pass unconditionally
+    trunc = np.zeros(Lv, bool)
+    if len(tracks) > Lv:
+        logging.getLogger(__name__).warning(
+            "validation capacity exceeded: %d tracks > Lv=%d; overflow "
+            "tracks fail validation closed", len(tracks), Lv,
+        )
     q_bc, p_bc = calib.q_bc_h, calib.p_bc_h
     oi = 0
     for ti, t in enumerate(tracks[:Lv]):
@@ -773,6 +782,11 @@ def _assemble_validation(
             if fid not in wslot:
                 continue  # only keyframe observations enter validation
             if oi >= Ov:
+                trunc[ti] = True
+                logging.getLogger(__name__).warning(
+                    "validation observation budget exhausted (Ov=%d); "
+                    "truncated tracks fail validation closed", Ov,
+                )
                 break
             f = frames_by_id[fid]
             o_ti[oi] = ti
@@ -785,6 +799,7 @@ def _assemble_validation(
         "a_slot": a_slot, "a_qc": a_qc, "a_pc": a_pc, "z0": z0,
         "lmw": lmw, "tri_idx": tri_idx, "invd_h": invd_h, "has": has,
         "o_ti": o_ti, "o_slot": o_slot, "o_z": o_z, "o_val": o_val,
+        "trunc": trunc,
         "fxy": np.array([Km[0, 0], Km[1, 1]]),
     }
 
@@ -837,7 +852,8 @@ def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics,
     cnt = jax.ops.segment_sum(ov.astype(f64), o_ti, num_segments=Lv)
     nbad = jax.ops.segment_sum((ov & depth_bad).astype(f64), o_ti, num_segments=Lv)
     mean_rpe = sum_rpe / jnp.maximum(cnt, 1.0)
-    out = jnp.asarray(va["has"]) & (invd > 0) & (nbad == 0) & (mean_rpe < 3.0)
+    out = (jnp.asarray(va["has"]) & ~jnp.asarray(va["trunc"])
+           & (invd > 0) & (nbad == 0) & (mean_rpe < 3.0))
     if tri_ok is not None:
         ti = jnp.asarray(va["tri_idx"])
         out = out & ((ti < 0) | tri_ok[jnp.clip(ti, 0)])

@@ -189,8 +189,10 @@ class FeatureTracker:
         Km = self.calib.K
         n = min(last.keypoint_num, self.KP_CAP)
         if n == 0:
-            # still need the IMU state prediction
-            builders.predict_frame(last, frame, self.calib, self.caps.IMU)
+            # still need the IMU state prediction (under map.lock: the
+            # frontend worker rewrites last.q/p/v via refresh_from_optimized)
+            with self.map.lock:
+                builders.predict_frame(last, frame, self.calib, self.caps.IMU)
             return
         curr_pix = self._pix_from_bearings(last)[:n]
 
@@ -253,8 +255,11 @@ class FeatureTracker:
             num_hypotheses=cfg.ransac_hypotheses,
         )
 
-        # predicted state (reference predict path) — host NumPy, mean-only
-        builders.predict_frame(last, frame, self.calib, self.caps.IMU)
+        # predicted state (reference predict path) — host NumPy, mean-only.
+        # Held under map.lock: the frontend worker concurrently rewrites
+        # last.q/p/v/bg/ba via _repropagate_from_optimized (ADVICE r1).
+        with self.map.lock:
+            builders.predict_frame(last, frame, self.calib, self.caps.IMU)
 
         out = fetch(pending)
 

@@ -38,6 +38,9 @@ class Frontend:
         # only enqueues; Handler's frontend worker drains via run()
         self.threaded = False
         self._cv = threading.Condition()
+        # frames popped from pending but still being processed by run();
+        # wait_for_backlog counts them so join() truly drains the pipeline
+        self._in_flight = 0
 
     @property
     def initializing(self) -> bool:
@@ -65,13 +68,14 @@ class Frontend:
             return bool(self.pending_frame_ids) and not stop.is_set()
 
     def wait_for_backlog(self, n: int, stop):
-        """Block until <= n frames are pending (producer backpressure)."""
+        """Block until <= n frames are pending or in flight (producer
+        backpressure; n=0 is a full pipeline drain)."""
         with self._cv:
-            while len(self.pending_frame_ids) > n and not stop.is_set():
+            while (len(self.pending_frame_ids) + self._in_flight > n
+                   and not stop.is_set()):
                 self._cv.wait(timeout=0.2)
 
     def run(self):
-        ft_map = self.feature_tracker.map
         with self._cv:
             if not self.pending_frame_ids:
                 return
@@ -80,7 +84,17 @@ class Frontend:
                 self.pending_frame_ids.clear()
             else:
                 fid = self.pending_frame_ids.pop(0)
+            self._in_flight += 1
             self._cv.notify_all()  # wake backpressured producers
+        try:
+            self._process(fid)
+        finally:
+            with self._cv:
+                self._in_flight -= 1
+                self._cv.notify_all()
+
+    def _process(self, fid):
+        ft_map = self.feature_tracker.map
         if self.initializer is not None:
             with ft_map.lock:
                 self.initializer.mirror_keyframe_map(ft_map, fid)

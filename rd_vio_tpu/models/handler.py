@@ -61,6 +61,8 @@ class Handler:
         self._ft_worker: Optional[threading.Thread] = None
         self._fe_worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._worker_error: Optional[BaseException] = None
+        self._closed = False
         if threaded:
             frontend.threaded = True
             # bounded: ingestion blocks rather than letting the tracker race
@@ -87,32 +89,60 @@ class Handler:
                 # every frame is estimated (throughput = slowest stage, with
                 # the two stages overlapped)
                 self.frontend.wait_for_backlog(2, self._stop)
-                self.feature_tracker.track_frame(frame)
+                # after a worker error, keep consuming (so producers never
+                # block forever on the bounded queue) but stop processing
+                if self._worker_error is None and not self._stop.is_set():
+                    self.feature_tracker.track_frame(frame)
+            except BaseException as e:  # noqa: BLE001 — reported via join()
+                self._record_worker_error(e)
             finally:
                 self._ft_queue.task_done()
 
     def _fe_loop(self):
         while not self._stop.is_set():
-            if not self.frontend.wait_for_work(self._stop, timeout=0.2):
-                continue
-            self.frontend.run()
+            try:
+                if not self.frontend.wait_for_work(self._stop, timeout=0.2):
+                    continue
+                self.frontend.run()
+            except BaseException as e:  # noqa: BLE001 — reported via join()
+                self._record_worker_error(e)
+
+    def _record_worker_error(self, e: BaseException):
+        """First worker exception wins; unblock everything so join()/close()
+        can surface it instead of hanging the process."""
+        if self._worker_error is None:
+            self._worker_error = e
+        self._stop.set()
+        self.frontend.wake()
 
     def join(self):
-        """Block until both pipeline stages have drained (threaded mode)."""
+        """Block until both pipeline stages have drained (threaded mode).
+        Re-raises the first worker exception, if any."""
         if not self.threaded:
             return
         self._ft_queue.join()
         self.frontend.wait_for_backlog(0, self._stop)
+        if self._worker_error is not None:
+            raise RuntimeError(
+                "rdvio pipeline worker failed"
+            ) from self._worker_error
 
     def close(self):
-        if not self.threaded or self._stop.is_set():
+        if not self.threaded or self._closed:
             return
-        self.join()
+        self._closed = True
+        err = None
+        try:
+            self.join()
+        except RuntimeError as e:
+            err = e
         self._stop.set()
         self._ft_queue.put(None)
         self.frontend.wake()
         self._ft_worker.join(timeout=10)
         self._fe_worker.join(timeout=10)
+        if err is not None:
+            raise err
 
     # ------------------------------------------------------------------
     def track_camera(self, t: float, image) -> None:

@@ -230,7 +230,7 @@ class Initializer:
         thr = 0.7 / Km[0, 0]
         resH = ransac.ransac_homography(
             self._next_key(), jnp.asarray(p1p), jnp.asarray(p2p),
-            jnp.asarray(valid), thr, cfg.max_keypoints if False else 512,
+            jnp.asarray(valid), thr, 512,
         )
         RH1, RH2, TH1, TH2, n1, n2, pure = homography.decompose_homography(resH.model)
         if bool(pure):

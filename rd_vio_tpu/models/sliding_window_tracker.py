@@ -150,7 +150,10 @@ class SlidingWindowTracker:
             frame_j = m.get_frame(m.frame_num - 1)
             spec_loc = self._localize_spec(frame_i, frame_j)
             kf = self.manage_keyframe()
-            assert kf, "keyframe decision disagreed with manage_keyframe"
+            if not kf:  # must survive python -O: misrouting here corrupts state
+                raise RuntimeError(
+                    "keyframe decision disagreed with manage_keyframe"
+                )
             if (self.dist_mesh is None
                     and m.frame_num > self.config.sliding_window_size):
                 # steady state: the ENTIRE keyframe step as one device
@@ -599,6 +602,8 @@ class SlidingWindowTracker:
         for ti, t in enumerate(tracks_v[: len(valid_h)]):
             if t.tag(TT_TRIANGULATED):
                 t.set_tag(TT_VALID, bool(valid_h[ti]))
+        for t in tracks_v[len(valid_h):]:  # beyond validation capacity: closed
+            t.set_tag(TT_VALID, False)
         for t in m.tracks.values():
             if not t.tag(TT_VALID):
                 t.set_tag(TT_TRASH, True)
@@ -635,6 +640,8 @@ class SlidingWindowTracker:
                 t.inv_depth = -1.0
         for ti, t in enumerate(tracks_v[: len(valid_h)]):
             t.set_tag(TT_VALID, bool(valid_h[ti]))
+        for t in tracks_v[len(valid_h):]:  # beyond validation capacity: closed
+            t.set_tag(TT_VALID, False)
         for t in m.tracks.values():
             if not t.tag(TT_VALID):
                 t.set_tag(TT_TRASH, True)

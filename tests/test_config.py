@@ -70,3 +70,85 @@ def test_loads_both_files_together():
     )
     assert c.sliding_window_size == 12
     np.testing.assert_allclose(c.camera_intrinsic[0, 0], 458.654)
+
+
+# -- mandatory-key strictness (reference yaml_config.cpp:141-201) -----------
+
+def _write_sensor_yaml(tmp_path, drop=None):
+    """Minimal valid sensor yaml; drop= removes one dotted key."""
+    import yaml
+
+    d = {
+        "cam0": {
+            "intrinsics": [400.0, 400.0, 320.0, 240.0],
+            "resolution": [640, 480],
+            "camera_distortion_flag": 0,
+            "distortion": [0.0, 0.0, 0.0, 0.0],
+            "time_offset": 0.0,
+            "extrinsic": {"q_bc": [0.0, 0.0, 0.0, 1.0], "p_bc": [0.0, 0.0, 0.0]},
+            "noise": [0.5, 0.0, 0.0, 0.5],
+        },
+        "imu": {
+            "extrinsic": {"q_bi": [0.0, 0.0, 0.0, 1.0], "p_bi": [0.0, 0.0, 0.0]},
+            "noise": {
+                "cov_g": np.diag([1e-4] * 3).ravel().tolist(),
+                "cov_a": np.diag([1e-3] * 3).ravel().tolist(),
+                "cov_bg": np.diag([1e-6] * 3).ravel().tolist(),
+                "cov_ba": np.diag([1e-5] * 3).ravel().tolist(),
+            },
+        },
+    }
+    if drop is not None:
+        cur = d
+        parts = drop.split(".")
+        for k in parts[:-1]:
+            cur = cur[k]
+        del cur[parts[-1]]
+    p = tmp_path / "sensor.yaml"
+    p.write_text(yaml.safe_dump(d))
+    return str(p)
+
+
+def test_sensor_yaml_complete_loads(tmp_path):
+    c = load_config(sensor_yaml=_write_sensor_yaml(tmp_path))
+    np.testing.assert_allclose(c.camera_intrinsic[0, 0], 400.0)
+
+
+@pytest.mark.parametrize("key", [
+    "cam0.intrinsics", "cam0.resolution", "cam0.camera_distortion_flag",
+    "cam0.distortion", "cam0.time_offset", "cam0.extrinsic",
+    "cam0.noise", "imu.extrinsic", "imu.noise",
+])
+def test_missing_mandatory_sensor_key_raises(tmp_path, key):
+    from rd_vio_tpu.config import ConfigMissingError
+
+    with pytest.raises(ConfigMissingError):
+        load_config(sensor_yaml=_write_sensor_yaml(tmp_path, drop=key))
+
+
+def test_missing_file_raises():
+    from rd_vio_tpu.config import ConfigLoadError
+
+    with pytest.raises(ConfigLoadError):
+        load_config(sensor_yaml="/nonexistent/sensor.yaml")
+
+
+def test_bad_yaml_raises(tmp_path):
+    from rd_vio_tpu.config import ConfigParseError
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("cam0: [unterminated")
+    with pytest.raises(ConfigParseError):
+        load_config(sensor_yaml=str(p))
+
+
+def test_wrong_shape_noise_raises(tmp_path):
+    from rd_vio_tpu.config import ConfigTypeError
+    import yaml as _y
+
+    path = _write_sensor_yaml(tmp_path)
+    d = _y.safe_load(open(path))
+    d["imu"]["noise"]["cov_g"] = [1.0, 2.0]  # not 3x3
+    open(path, "w").write(_y.safe_dump(d))
+    with pytest.raises(ConfigTypeError):
+        load_config(sensor_yaml=path)
