@@ -156,6 +156,11 @@ class Config:
     max_observations: int = 4096  # O_max reprojection factor slots per solve
     max_imu_per_interval: int = 64  # IMU samples per frame-to-frame interval
     ransac_hypotheses: int = 256  # K batched hypotheses per robust solve
+    # per-frame mask RANSAC placement: True runs it on host NumPy (the result
+    # gates host control flow; on a latency-bound tunneled chip a device
+    # round trip per frame dominates), False dispatches the fused device
+    # program (ops/frontend_step.ft_step) — right for direct-attached parts
+    feature_tracker_host_masks: bool = True
     solver_dtype: str = "float64"  # keyframe/marginalization solves (prior conditioning)
     fast_solver_dtype: str = "float32"  # prior-free per-frame solves (localize/subwindow)
     # keyframe window solve: f32 is safe because the marginalization prior

@@ -1075,12 +1075,20 @@ def solve_window_validate_marginalize(
     return res, lm_w, valid_out, new_prior
 
 
+def result_transfer_tree(res: ba.BAResult):
+    """The (device) pytree apply_result_np consumes — fetch it (sync or
+    async) and hand the numpy tree over."""
+    return (res.states.q, res.states.p, res.states.v, res.states.bg,
+            res.states.ba, res.inv_depth)
+
+
 def apply_result(res: ba.BAResult, spec: BASpec, lm_slot: Dict[int, int]):
     # one batched device->host transfer for the whole result
-    q, p, v, bg, ba_, invd_dev = fetch(
-        (res.states.q, res.states.p, res.states.v, res.states.bg,
-         res.states.ba, res.inv_depth)
-    )
+    apply_result_np(fetch(result_transfer_tree(res)), spec, lm_slot)
+
+
+def apply_result_np(host_tree, spec: BASpec, lm_slot: Dict[int, int]):
+    q, p, v, bg, ba_, invd_dev = host_tree
     for i, f in enumerate(spec.frames):
         if not spec.fix_pose[i]:
             f.q, f.p = q[i], p[i]

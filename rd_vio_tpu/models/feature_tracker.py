@@ -245,15 +245,22 @@ class FeatureTracker:
         npix[:n] = next_pix_raw
 
         W_img, H_img = self.config.camera_resolution
-        from rd_vio_tpu.ops.frontend_step import ft_step
+        rot_thr = np.float32(np.radians(cfg.rotation_ransac_threshold))
+        if cfg.feature_tracker_host_masks:
+            # host mask path (default): the mask RANSAC is tiny arithmetic
+            # whose result gates host control flow — no device round trip
+            from rd_vio_tpu.ops.frontend_step_np import ft_step_np
 
-        # device mask program (f32) overlaps with the host state prediction
-        pending = ft_step(
-            jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
-            self._next_key(),
-            np.float32(np.radians(cfg.rotation_ransac_threshold)),
-            num_hypotheses=cfg.ransac_hypotheses,
-        )
+            pending = None
+        else:
+            from rd_vio_tpu.ops.frontend_step import ft_step
+
+            # device mask program (f32) overlaps with the host prediction
+            pending = ft_step(
+                jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(val),
+                self._next_key(),
+                rot_thr, num_hypotheses=cfg.ransac_hypotheses,
+            )
 
         # predicted state (reference predict path) — host NumPy, mean-only.
         # Held under map.lock: the frontend worker concurrently rewrites
@@ -261,7 +268,11 @@ class FeatureTracker:
         with self.map.lock:
             builders.predict_frame(last, frame, self.calib, self.caps.IMU)
 
-        out = fetch(pending)
+        if pending is None:
+            out = ft_step_np(b1, b2, val, self._next_key(), rot_thr,
+                             num_hypotheses=cfg.ransac_hypotheses)
+        else:
+            out = fetch(pending)
 
         # pure-rotation detector (reference frame.cpp:115-131)
         if float(out["misalign"]) < cfg.rotation_misalignment_threshold:

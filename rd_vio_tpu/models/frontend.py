@@ -107,6 +107,9 @@ class Frontend:
                 self._publish(fid)
                 self.initializer = None
         elif self.swt is not None:
+            # apply the previous frame's deferred subwindow result BEFORE
+            # mirroring/predicting the new frame from those states
+            self.swt.drain_pending()
             with ft_map.lock:
                 ok = self.swt.mirror_frame(ft_map, fid)
             if not ok:

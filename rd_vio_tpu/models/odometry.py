@@ -47,9 +47,18 @@ class Odometry:
         """Block until all ingested frames are fully processed (no-op in
         synchronous mode)."""
         self.handler.join()
+        self._drain_swt()
 
     def close(self):
         self.handler.close()
+        self._drain_swt()
+
+    def _drain_swt(self):
+        """Apply any deferred subwindow result so final state reads see the
+        last solve (safe here: join guarantees no in-flight optimizer work)."""
+        swt = self.frontend.swt
+        if swt is not None:
+            swt.drain_pending()
 
     def __enter__(self):
         return self

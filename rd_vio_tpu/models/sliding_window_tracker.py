@@ -64,6 +64,13 @@ class SlidingWindowTracker:
         # prior produced by the fused keyframe-tail program, consumed by the
         # matching slide_window() call
         self._pending_prior: Optional[F.PriorFactor] = None
+        # deferred subwindow result: (AsyncFetch, spec, lm_slot). The
+        # per-frame subframe solve is dispatched + async-fetched but applied
+        # only at the START of the next frame (drain_pending), hiding the
+        # device->host round trip behind the inter-frame host work — the
+        # "one-frame-stale fetch" of the optimizer stage. Every consumer of
+        # solved states runs after a drain.
+        self._pending_sub = None
         self.m_th = 3.0  # adaptive epipolar threshold (px)
         self.bin_conf_imu = parsac.default_bin_confidences()
         self.bin_conf_2d2d = parsac.default_bin_confidences()
@@ -881,7 +888,12 @@ class SlidingWindowTracker:
 
     def _solve_subwindow(self, spec, spec_loc, j_slot):
         """Dispatch the subwindow solve, fused with the pending localization
-        solve when one was captured — one device program, one fetch."""
+        solve when one was captured — one device program. The result is NOT
+        fetched here: an async transfer starts immediately and drain_pending
+        applies it at the start of the next frame (zero blocking round trips
+        on this path when the transfer lands during the frame interval)."""
+        from rd_vio_tpu.utils.host import fetch_async
+
         it = self.config.solver_iteration_limit
         if spec_loc is not None:
             res, lm_slot = builders.solve_localize_subwindow(
@@ -893,7 +905,20 @@ class SlidingWindowTracker:
                 spec, self.calib, self.caps_fast, dtype=self._fast_dtype,
                 max_iterations=it,
             )
-        builders.apply_result(res, spec, lm_slot)
+        self._pending_sub = (
+            fetch_async(builders.result_transfer_tree(res)), spec, lm_slot
+        )
+
+    def drain_pending(self):
+        """Apply the deferred subwindow result (no-op when none pending).
+        MUST run before anything reads or mutates the solved frame states:
+        the next frame's mirror/predict, keyframe surgery, checkpointing,
+        and final state reads all drain first."""
+        if self._pending_sub is None:
+            return
+        fut, spec, lm_slot = self._pending_sub
+        self._pending_sub = None
+        builders.apply_result_np(fut.wait(), spec, lm_slot)
 
     # ------------------------------------------------------------------
     # IMU-PARSAC dynamic-object rejection (reference :557-769)

@@ -1,0 +1,172 @@
+"""Host (NumPy) twin of ops/frontend_step.ft_step.
+
+Behavioral reference: frame.cpp:108-131 (essential-RANSAC match mask + 2-pt
+rotation RANSAC pure-rotation detector), same batched-hypothesis formulation
+as the device program (ops/frontend_step.py, ops/ransac.py).
+
+Why a host twin exists (TPU-first placement decision): the per-frame mask
+RANSAC is O(K·N) on ≤384 keypoints × ~128 hypotheses — microseconds of
+arithmetic — but its *result gates host control flow* (track-link creation,
+the keyframe state machine input FT_NO_TRANSLATION). On a latency-bound
+link (tunneled chip: ~30 ms per device->host fetch) paying a round trip per
+frame for this is the single largest per-frame cost, so the default runs it
+on host; the device program remains for direct-attached parts where dispatch
+latency is ~0.1 ms (config.feature_tracker_host_masks=False).
+
+The math mirrors the device path exactly (same Gumbel-top-k sampling shape,
+same 8-point eigh solver, same chi-square bounds); only the PRNG stream
+differs (NumPy Philox vs JAX threefry), which RANSAC is insensitive to.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CHI2_1DOF = 3.84  # reference stereo.cpp:59 (t1)
+CHI2_2DOF = 5.99  # reference stereo.cpp:85,113 (t2)
+
+
+def _rng_from_key(key) -> np.random.Generator:
+    """Deterministic NumPy generator derived from a JAX PRNG key."""
+    data = np.asarray(key).ravel().astype(np.uint64)
+    seed = int(data[0]) << 32 | int(data[-1])
+    return np.random.default_rng(seed)
+
+
+def sample_indices_np(rng, valid, num_hypotheses: int, sample_size: int):
+    """Gumbel-top-k minimal-sample draw, mirroring ransac.sample_indices."""
+    n = valid.shape[0]
+    base = np.where(valid, 0.0, -np.inf)
+    g = rng.gumbel(size=(num_hypotheses, n)).astype(np.float32)
+    scores = g + base[None, :].astype(np.float32)
+    # top-k via argpartition (order within the sample does not matter)
+    idx = np.argpartition(-scores, sample_size - 1, axis=1)[:, :sample_size]
+    return idx.astype(np.int32)
+
+
+def _homog(p):
+    return np.concatenate([p, np.ones_like(p[..., :1])], axis=-1)
+
+
+def solve_essential_8pt_np(p1, p2):
+    """Batched linear 8-point essential solver (mirror of
+    ops/epipolar.solve_essential_8pt; same eigh-based manifold projection)."""
+    x1, y1 = p1[..., 0], p1[..., 1]
+    x2, y2 = p2[..., 0], p2[..., 1]
+    one = np.ones_like(x1)
+    A = np.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
+    )  # (..., N, 9)
+    M = np.swapaxes(A, -1, -2) @ A
+    _, v = np.linalg.eigh(M)
+    e = v[..., :, 0]
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    lam, V = np.linalg.eigh(np.swapaxes(E, -1, -2) @ E)  # ascending
+    v1 = V[..., :, 2]
+    v2 = V[..., :, 1]
+    s1 = np.sqrt(np.maximum(lam[..., 2], 0.0))
+    s2 = np.sqrt(np.maximum(lam[..., 1], 0.0))
+    eps = np.asarray(1e-20, E.dtype)
+    u1 = np.einsum("...ij,...j->...i", E, v1) / np.maximum(s1, eps)[..., None]
+    u2 = np.einsum("...ij,...j->...i", E, v2) / np.maximum(s2, eps)[..., None]
+    s = 0.5 * (s1 + s2)
+    return s[..., None, None] * (
+        u1[..., :, None] * v1[..., None, :] + u2[..., :, None] * v2[..., None, :]
+    )
+
+
+def essential_geometric_error_np(E, p1, p2):
+    Ep1 = np.einsum("...ij,...nj->...ni", E, _homog(p1))
+    r = np.sum(_homog(p2) * Ep1, axis=-1)
+    denom = Ep1[..., 0] ** 2 + Ep1[..., 1] ** 2
+    return r * r / np.maximum(denom, 1e-18)
+
+
+def _quat_to_R_np(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack(
+        [
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def solve_rotation_np(p1, p2):
+    """Batched Davenport q-method (mirror of ops/wahba.solve_rotation)."""
+    B = np.einsum("...ni,...nj->...ij", p2, p1)
+    sigma = np.trace(B, axis1=-2, axis2=-1)
+    S = B + np.swapaxes(B, -1, -2)
+    z = np.stack(
+        [
+            B[..., 1, 2] - B[..., 2, 1],
+            B[..., 2, 0] - B[..., 0, 2],
+            B[..., 0, 1] - B[..., 1, 0],
+        ],
+        axis=-1,
+    )
+    eye3 = np.eye(3, dtype=p1.dtype)
+    K = np.concatenate(
+        [
+            np.concatenate([sigma[..., None, None], z[..., None, :]], axis=-1),
+            np.concatenate(
+                [z[..., :, None], S - sigma[..., None, None] * eye3], axis=-1
+            ),
+        ],
+        axis=-2,
+    )
+    _, vecs = np.linalg.eigh(K)
+    q = vecs[..., :, -1]
+    q = q * np.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    return _quat_to_R_np(q)
+
+
+def rotation_angular_error_np(R, p1, p2):
+    Rp1 = np.einsum("...ij,...nj->...ni", R, p1)
+    d = np.clip(np.sum(Rp1 * p2, axis=-1), -1.0, 1.0)
+    return np.arccos(d)
+
+
+def ft_step_np(b1, b2, valid, key, rot_thresh, num_hypotheses: int):
+    """NumPy twin of frontend_step.ft_step: essential-RANSAC mask + rotation
+    misalignment percentile. Returns {"mask": (N,) bool, "misalign": float}."""
+    rng = _rng_from_key(key)
+    f32 = np.float32
+    b1 = np.asarray(b1, f32)
+    b2 = np.asarray(b2, f32)
+    valid = np.asarray(valid, bool)
+    n_valid = int(valid.sum())
+
+    # --- 1. essential RANSAC mask (threshold 1.0 — reference frame.cpp:108) --
+    pn1 = b1[:, :2] / b1[:, 2:]
+    pn2 = b2[:, :2] / b2[:, 2:]
+    if n_valid >= 8:
+        idx = sample_indices_np(rng, valid, num_hypotheses, 8)
+        E = solve_essential_8pt_np(pn1[idx], pn2[idx])  # (K, 3, 3)
+        err = essential_geometric_error_np(E, pn1[None], pn2[None]) + \
+            essential_geometric_error_np(np.swapaxes(E, -1, -2), pn2[None], pn1[None])
+        inl = (err <= 2.0 * CHI2_1DOF * 1.0**2) & valid[None, :]
+        best = int(np.argmax(inl.sum(axis=-1)))
+        status = valid & inl[best]
+    else:
+        status = valid.copy()
+
+    # --- 2. rotation RANSAC + misalignment percentile ------------------
+    misalign = 0.0
+    if n_valid >= 2:
+        idx = sample_indices_np(rng, valid, num_hypotheses, 2)
+        R = solve_rotation_np(b1[idx], b2[idx])  # (K, 3, 3)
+        ang_all = rotation_angular_error_np(R, b1[None], b2[None])
+        inl_r = (ang_all <= CHI2_2DOF * float(rot_thresh) ** 2) & valid[None, :]
+        best = int(np.argmax(inl_r.sum(axis=-1)))
+        rmask = inl_r[best]
+        n_in = int(rmask.sum())
+        if n_in > 0:
+            ang = np.degrees(rotation_angular_error_np(R[best], b1, b2))
+            ang_sorted = np.sort(np.where(rmask, ang, np.inf))
+            idx70 = min(max(n_in * 7 // 10, 0), ang.shape[0] - 1)
+            misalign = float(ang_sorted[idx70])
+
+    return {"mask": status, "misalign": misalign}

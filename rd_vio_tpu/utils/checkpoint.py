@@ -43,6 +43,7 @@ def _frame_from_dict(d: dict, prefix: str) -> Frame:
 
 def save_tracker(path: str, swt) -> None:
     """Serialize a SlidingWindowTracker (window + subframes + tracks + prior)."""
+    swt.drain_pending()  # checkpoint the applied (not in-flight) states
     out = {}
     m = swt.map
     frames = list(m.frames)

@@ -9,6 +9,9 @@ round trip — use it whenever more than one result is needed.
 
 from __future__ import annotations
 
+import concurrent.futures
+from typing import Optional
+
 import jax
 import numpy as np
 
@@ -23,3 +26,41 @@ def asnp(x, dtype=None) -> np.ndarray:
 def fetch(tree):
     """One batched device->host transfer of an arbitrary pytree."""
     return jax.device_get(tree)
+
+
+_FETCH_POOL: Optional[concurrent.futures.ThreadPoolExecutor] = None
+
+
+def _fetch_pool() -> concurrent.futures.ThreadPoolExecutor:
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="rdvio-fetch"
+        )
+    return _FETCH_POOL
+
+
+class AsyncFetch:
+    """A device->host transfer started immediately on a helper thread.
+
+    On the tunneled TPU the transfer costs one ~30 ms round trip; starting it
+    right after the dispatch and consuming it one pipeline step later hides
+    that round trip behind host work (the consumer's wait() is ~0 when the
+    result landed in the meantime)."""
+
+    def __init__(self, tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if isinstance(leaf, jax.Array):
+                try:
+                    leaf.copy_to_host_async()  # runtime hint; optional
+                except Exception:  # noqa: BLE001 — best-effort only
+                    pass
+        self._future = _fetch_pool().submit(jax.device_get, tree)
+
+    def wait(self):
+        return self._future.result()
+
+
+def fetch_async(tree) -> AsyncFetch:
+    """Start fetching a pytree without blocking; .wait() yields numpy."""
+    return AsyncFetch(tree)
