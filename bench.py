@@ -182,10 +182,37 @@ def worker(argv):
 
     duration = 8.0
     seq = synthetic.generate(duration=duration, n_landmarks=1200, max_keypoints=150)
-    cfg = Config()
+    if "--light" in argv:
+        # round-1 configuration (code defaults: parsac off, window 10,
+        # 3 subframes, 10 solver iterations) — kept for ladder comparisons
+        cfg = Config()
+    else:
+        # DEFAULT: the reference's shipped configuration — setting.yaml
+        # semantics (parsac ON, window 12, 5 subframes, 30 LM iterations,
+        # keyframe_check 1); loads the actual file when present
+        ref_yaml = "/root/reference/configs/setting.yaml"
+        if os.path.exists(ref_yaml):
+            from rd_vio_tpu.config import load_config
+
+            cfg = load_config(setting_yaml=ref_yaml)
+        else:
+            cfg = Config()
+            cfg.sliding_window_size = 12
+            cfg.sliding_window_subframe_size = 5
+            cfg.sliding_window_force_keyframe_landmarks = 50
+            cfg.feature_tracker_min_keypoint_distance = 10.0
+            cfg.feature_tracker_max_keypoint_detection = 200
+            cfg.feature_tracker_max_frames = 20
+            cfg.solver_iteration_limit = 30
+            cfg.rotation_misalignment_threshold = 0.02
+            cfg.parsac_flag = True
+            cfg.parsac_dynamic_probability = 0.15
+            cfg.parsac_threshold = 1.0
+            cfg.parsac_keyframe_check_size = 1
     cfg.camera_intrinsic = seq.K_mat
     cfg.ransac_hypotheses = 128
-    caps = builders.Caps(W=13, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
+    caps = builders.Caps(W=cfg.sliding_window_size + 3, L=256, O=1536,
+                         Fi=16, R=128, IMU=64, IMU_KF=384)
     # threaded two-stage pipeline (the reference's THREADING=ON default):
     # feature tracking overlaps the optimizer; pass --sync for inline dispatch
     threaded = "--sync" not in argv

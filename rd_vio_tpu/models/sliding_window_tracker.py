@@ -1073,7 +1073,18 @@ class SlidingWindowTracker:
         outlier_cnts = np.zeros(curr.keypoint_num, int)
         matches_cnts = np.zeros(curr.keypoint_num, int)
         start = max(m.frame_num - 1 - cfg.parsac_keyframe_check_size, 0)
-        for i in range(start, m.frame_num - 1):
+        # ALL keyframe checks as ONE chained device program (the reference
+        # runs one PARSAC per checked keyframe, each consuming the previous
+        # one's bin confidences — sliding_window_tracker.cpp:720-769; a
+        # per-check dispatch costs one tunnel round trip per keyframe)
+        Kc = max(cfg.parsac_keyframe_check_size, 1)
+        Ncap = self.caps.L
+        P1 = np.zeros((Kc, Ncap, 2))
+        P2 = np.zeros((Kc, Ncap, 2))
+        VAL = np.zeros((Kc, Ncap), bool)
+        EN = np.zeros(Kc, bool)
+        kp_rows = [None] * Kc
+        for row, i in enumerate(range(start, m.frame_num - 1)):
             fi = m.get_frame(i)
             pts1, pts2, kp_idx = [], [], []
             for ki in range(fi.keypoint_num):
@@ -1089,27 +1100,31 @@ class SlidingWindowTracker:
                 kp_idx.append(kj)
             if len(pts1) < 10:
                 continue
-            Ncap = self.caps.L
-            p1 = np.zeros((Ncap, 2))
-            p2 = np.zeros((Ncap, 2))
-            val = np.zeros(Ncap, bool)
             nn = min(len(pts1), Ncap)
-            p1[:nn] = asnp(pts1)[:nn]
-            p2[:nn] = asnp(pts2)[:nn]
-            val[:nn] = True
-            res = parsac.parsac_essential(
-                self._next_key(), jnp.asarray(p1), jnp.asarray(p2),
-                jnp.asarray(val), self.bin_conf_2d2d,
-                threshold=self.m_th / Km[0, 0],
+            P1[row, :nn] = asnp(pts1)[:nn]
+            P2[row, :nn] = asnp(pts2)[:nn]
+            VAL[row, :nn] = True
+            EN[row] = True
+            kp_rows[row] = np.asarray(kp_idx[:nn], int)
+        if not EN.any():
+            pass
+        else:
+            masks_dev, conf_dev = parsac.parsac_essential_chain(
+                self._next_key(), jnp.asarray(P1), jnp.asarray(P2),
+                jnp.asarray(VAL), jnp.asarray(EN), self.bin_conf_2d2d,
+                self.m_th / Km[0, 0],
                 norm_scale=cfg.parsac_norm_scale,
                 num_hypotheses=cfg.ransac_hypotheses,
             )
-            self.bin_conf_2d2d = res.bin_confidences
-            mask = asnp(res.inlier_mask)
-            for j in range(nn):
-                matches_cnts[kp_idx[j]] += 1
-                if not mask[j]:
-                    outlier_cnts[kp_idx[j]] += 1
+            self.bin_conf_2d2d = conf_dev
+            masks = asnp(masks_dev)
+            for row in range(Kc):
+                kp_idx = kp_rows[row]
+                if kp_idx is None:
+                    continue
+                mrow = masks[row, : len(kp_idx)]
+                np.add.at(matches_cnts, kp_idx, 1)
+                np.add.at(outlier_cnts, kp_idx[~mrow], 1)
 
         outlier_th = m.frame_num // 2
         for k in range(curr.keypoint_num):

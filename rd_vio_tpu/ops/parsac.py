@@ -296,3 +296,43 @@ def imu_parsac_pnp(
         bin_confidences=bin_conf,
         prior_ok=prior_gate_ok & res.prior_ok,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def parsac_essential_chain(
+    key, p1, p2, valid, enable, bin_conf_prior, threshold,
+    norm_scale: float = 1.0, num_hypotheses: int = 256,
+):
+    """K sequential 2D-2D PARSAC checks as ONE device program.
+
+    The reference's update_track_status runs find_essential_matrix_parsac
+    once per recent keyframe (sliding_window_tracker.cpp:720-769), each call
+    consuming the bin confidences the previous one produced. Dispatching them
+    separately costs one device round trip per checked keyframe; this scan
+    chains the confidence state on device and returns all masks at once.
+
+    Args:
+      p1, p2: (K, N, 2) normalized points per check.
+      valid:  (K, N) bool.
+      enable: (K,) bool — disabled checks (too few matches) pass their
+        bin-confidence carry through unchanged, mirroring the host `continue`.
+      threshold: scalar (normalized units), shared by all checks (m_th is
+        fixed within a frame).
+    Returns:
+      masks (K, N) bool, final bin confidences (400,).
+    """
+    keys = jax.random.split(key, p1.shape[0])
+
+    def step(conf, xs):
+        k, q1, q2, v, en = xs
+        res = parsac_essential(
+            k, q1, q2, v, conf, threshold,
+            norm_scale=norm_scale, num_hypotheses=num_hypotheses,
+        )
+        new_conf = jnp.where(en, res.bin_confidences, conf)
+        return new_conf, res.inlier_mask & v
+
+    conf_out, masks = jax.lax.scan(
+        step, bin_conf_prior, (keys, p1, p2, valid, enable)
+    )
+    return masks, conf_out

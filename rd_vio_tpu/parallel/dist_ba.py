@@ -57,60 +57,58 @@ def relayout_for_sharding(invd, pb: ba.BAProblem, n_shards: int):
     opt_lm = np.asarray(pb.opt_lm)
     invd_h = np.asarray(invd)
 
-    # count observations per landmark; greedy round-robin landmarks into
-    # shards balancing observation counts
-    obs_by_lm = {}
-    for o in np.flatnonzero(valid):
-        obs_by_lm.setdefault(int(lm[o]), []).append(int(o))
-    order = sorted(obs_by_lm, key=lambda l: -len(obs_by_lm[l]))
-    shard_lms = [[] for _ in range(n_shards)]
-    shard_obs = [0] * n_shards
-    for l in order:
-        k = int(np.argmin(shard_obs))
-        if len(shard_lms[k]) >= L_loc or shard_obs[k] + len(obs_by_lm[l]) > O_loc:
-            # fall back to any shard with room
-            for k2 in np.argsort(shard_obs):
-                if len(shard_lms[int(k2)]) < L_loc and shard_obs[int(k2)] + len(obs_by_lm[l]) <= O_loc:
-                    k = int(k2)
-                    break
-        shard_lms[k].append(l)
-        shard_obs[k] += len(obs_by_lm[l])
+    # observation count per landmark (vectorized — this runs per solve when a
+    # dist mesh is active, so no per-observation Python loops)
+    counts = np.bincount(lm[valid], minlength=L)
+    active = np.flatnonzero(counts > 0)
+    order = active[np.argsort(-counts[active], kind="stable")]
 
-    # landmark permutation: new slot = shard*L_loc + position
-    new_slot = np.arange(L)
-    used = set()
-    for k, lms in enumerate(shard_lms):
-        for i, l in enumerate(lms):
-            new_slot[l] = k * L_loc + i
-            used.add(l)
-    # unused/invalid landmark slots fill remaining positions
-    taken = set(int(new_slot[l]) for l in used)
-    spare = iter([s for s in range(L) if s not in taken])
-    for l in range(L):
-        if l not in used:
-            new_slot[l] = next(spare)
+    # greedy balanced assignment, biggest landmarks first (loop over <=L
+    # active landmarks only; each step picks the least-loaded feasible shard)
+    shard_of_lm = np.full(L, -1, np.int64)
+    shard_obs = np.zeros(n_shards, np.int64)
+    shard_nlm = np.zeros(n_shards, np.int64)
+    for l in order:
+        c = counts[l]
+        feasible = (shard_nlm < L_loc) & (shard_obs + c <= O_loc)
+        k = int(np.argmin(np.where(feasible, shard_obs, np.iinfo(np.int64).max)))
+        shard_of_lm[l] = k
+        shard_obs[k] += c
+        shard_nlm[k] += 1
+
+    # landmark permutation: new slot = shard*L_loc + position-within-shard;
+    # inactive landmark slots fill the remaining positions in order
+    new_slot = np.full(L, -1, np.int64)
+    by_shard = np.argsort(shard_of_lm[order], kind="stable")
+    placed = order[by_shard]  # active lms grouped by shard
+    sh = shard_of_lm[placed]
+    pos_in_shard = np.arange(len(placed)) - np.searchsorted(sh, sh)
+    new_slot[placed] = sh * L_loc + pos_in_shard
+    taken = np.zeros(L, bool)
+    taken[new_slot[placed]] = True
+    inactive = np.flatnonzero(shard_of_lm < 0)
+    new_slot[inactive] = np.flatnonzero(~taken)[: len(inactive)]
 
     invd_new = np.ones(L)
     opt_new = np.zeros(L, bool)
     invd_new[new_slot] = invd_h
     opt_new[new_slot] = opt_lm
 
-    # observation rows: place each shard's obs contiguously
+    # observation rows: each shard's rows contiguous from shard*O_loc
+    vrows = np.flatnonzero(valid)
+    rsh = shard_of_lm[lm[vrows]]
+    r_order = np.argsort(rsh, kind="stable")
+    vrows = vrows[r_order]
+    rsh = rsh[r_order]
+    rpos = np.arange(len(vrows)) - np.searchsorted(rsh, rsh)
+    dest = rsh * O_loc + rpos
     perm_rows = np.zeros(O, dtype=np.int64)
     row_valid = np.zeros(O, bool)
-    pos = 0
-    fill = []
-    for k, lms in enumerate(shard_lms):
-        rows = [o for l in lms for o in obs_by_lm[l]]
-        base = k * O_loc
-        for i, o in enumerate(rows):
-            perm_rows[base + i] = o
-            row_valid[base + i] = True
-        fill.append((base + len(rows), (k + 1) * O_loc))
+    perm_rows[dest] = vrows
+    row_valid[dest] = True
 
     def take(a):
-        out = np.asarray(a)[perm_rows]
-        return out
+        return np.asarray(a)[perm_rows]
 
     reproj = pb.reproj._replace(
         tgt=jnp.asarray(take(pb.reproj.tgt)),
@@ -250,8 +248,12 @@ def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
             c_rest = ba.compute_cost(s, idl, pb_novis) * 2.0  # 0.5 factor undone below
             return 0.5 * c_v + 0.5 * c_rest
 
-        def body(carry, _):
-            s, idl, lam, cost, n_acc = carry
+        def cond(carry):
+            s, idl, lam, cost, n_acc, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def body(carry):
+            s, idl, lam, cost, n_acc, it, done = carry
             # shard-local vision normal equations
             Hv, gv, Hll, Hcl, bl, _ = _local_vision_system(s, idl, pb_local, L_local)
             # replicated rows (imu + rot + prior): compute with vision zeroed
@@ -290,16 +292,26 @@ def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
             idl_new = idl + dl * pb_local.opt_lm.astype(dtype)
             cost_new = eval_cost(s_new, idl_new)
             accept = (cost_new < cost) & jnp.isfinite(cost_new)
+            # same early-termination tests as the single-device solve_ba
+            # (Ceres defaults: function_tolerance 1e-6 on an accepted step's
+            # relative decrease, parameter_tolerance 1e-8 on the step size);
+            # dc/cost derive from psum'd quantities so every shard agrees
+            rel_decrease = (cost - cost_new) / jnp.maximum(
+                cost, jnp.finfo(dtype).tiny
+            )
+            step_small = jnp.max(jnp.abs(dc)) < 1e-8
+            done = (accept & (rel_decrease < 1e-6)) | step_small
             s = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), s, s_new)
             idl = jnp.where(accept, idl_new, idl)
             cost = jnp.where(accept, cost_new, cost)
             lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9),
                             jnp.minimum(lam * 4.0, 1e8))
-            return (s, idl, lam, cost, n_acc + accept.astype(jnp.int32)), None
+            return (s, idl, lam, cost, n_acc + accept.astype(jnp.int32),
+                    it + 1, done)
 
         cost0 = eval_cost(states, invd_local)
         # mark replicated carry components as varying over the mesh axis so
-        # the scan carry type is stable (shard_map vma rule)
+        # the while_loop carry type is stable (shard_map vma rule)
         vary = lambda x: jax.lax.pcast(x, (LM_AXIS,), to="varying")
         init = (
             jax.tree_util.tree_map(vary, states),
@@ -307,9 +319,11 @@ def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
             vary(jnp.asarray(1e-4, states.q.dtype)),
             cost0,
             vary(jnp.asarray(0, jnp.int32)),
+            vary(jnp.asarray(0, jnp.int32)),
+            vary(jnp.asarray(False)),
         )
-        (s, idl, lam, cost, n_acc), _ = jax.lax.scan(
-            body, init, None, length=max_iterations
+        s, idl, lam, cost, n_acc, it, done = jax.lax.while_loop(
+            cond, body, init
         )
         return s, idl, cost
 
