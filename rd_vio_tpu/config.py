@@ -161,6 +161,9 @@ class Config:
     # round trip per frame dominates), False dispatches the fused device
     # program (ops/frontend_step.ft_step) — right for direct-attached parts
     feature_tracker_host_masks: bool = True
+    # same placement choice for the per-frame IMU-PARSAC judge + 2D-2D
+    # keyframe checks (ops/parsac_np vs ops/parsac device programs)
+    parsac_host_masks: bool = True
     solver_dtype: str = "float64"  # keyframe/marginalization solves (prior conditioning)
     fast_solver_dtype: str = "float32"  # prior-free per-frame solves (localize/subwindow)
     # keyframe window solve: f32 is safe because the marginalization prior

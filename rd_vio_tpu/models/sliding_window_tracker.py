@@ -983,18 +983,34 @@ class SlidingWindowTracker:
         Rcw = q_to_R(qconj(qc))
         tcw = -qrot(qconj(qc), pc)
 
-        res = parsac.imu_parsac_pnp(
-            self._next_key(), jnp.asarray(P3D), jnp.asarray(P2D),
-            jnp.asarray(valid), jnp.asarray(lens),
-            jnp.asarray(Rcw), jnp.asarray(tcw),
-            self.bin_conf_imu,
-            threshold=cfg.parsac_threshold / Km[0, 0],
-            dynamic_prob=cfg.parsac_dynamic_probability,
-            norm_scale=cfg.parsac_norm_scale,
-            num_hypotheses=cfg.ransac_hypotheses,
-        )
-        self.bin_conf_imu = res.bin_confidences
-        mask = asnp(res.inlier_mask)
+        if cfg.parsac_host_masks:
+            # host twin (ops/parsac_np): no device round trip — the mask
+            # gates this frame's tags/m_th/keyframe decision synchronously
+            from rd_vio_tpu.ops import parsac_np
+
+            res = parsac_np.imu_parsac_pnp_np(
+                self._next_key(), P3D, P2D, valid, lens,
+                asnp(Rcw), asnp(tcw), asnp(self.bin_conf_imu),
+                threshold=cfg.parsac_threshold / Km[0, 0],
+                dynamic_prob=cfg.parsac_dynamic_probability,
+                norm_scale=cfg.parsac_norm_scale,
+                num_hypotheses=cfg.ransac_hypotheses,
+            )
+            self.bin_conf_imu = res.bin_confidences
+            mask = res.inlier_mask
+        else:
+            res = parsac.imu_parsac_pnp(
+                self._next_key(), jnp.asarray(P3D), jnp.asarray(P2D),
+                jnp.asarray(valid), jnp.asarray(lens),
+                jnp.asarray(Rcw), jnp.asarray(tcw),
+                jnp.asarray(self.bin_conf_imu),
+                threshold=cfg.parsac_threshold / Km[0, 0],
+                dynamic_prob=cfg.parsac_dynamic_probability,
+                norm_scale=cfg.parsac_norm_scale,
+                num_hypotheses=cfg.ransac_hypotheses,
+            )
+            self.bin_conf_imu = res.bin_confidences
+            mask = asnp(res.inlier_mask)
 
         # epipolar-distance separation between inliers/outliers (reference
         # :643-700) using the IMU-predicted relative pose
@@ -1109,15 +1125,27 @@ class SlidingWindowTracker:
         if not EN.any():
             pass
         else:
-            masks_dev, conf_dev = parsac.parsac_essential_chain(
-                self._next_key(), jnp.asarray(P1), jnp.asarray(P2),
-                jnp.asarray(VAL), jnp.asarray(EN), self.bin_conf_2d2d,
-                self.m_th / Km[0, 0],
-                norm_scale=cfg.parsac_norm_scale,
-                num_hypotheses=cfg.ransac_hypotheses,
-            )
-            self.bin_conf_2d2d = conf_dev
-            masks = asnp(masks_dev)
+            if cfg.parsac_host_masks:
+                from rd_vio_tpu.ops import parsac_np
+
+                masks, conf = parsac_np.parsac_essential_chain_np(
+                    self._next_key(), P1, P2, VAL, EN,
+                    asnp(self.bin_conf_2d2d), self.m_th / Km[0, 0],
+                    norm_scale=cfg.parsac_norm_scale,
+                    num_hypotheses=cfg.ransac_hypotheses,
+                )
+                self.bin_conf_2d2d = conf
+            else:
+                masks_dev, conf_dev = parsac.parsac_essential_chain(
+                    self._next_key(), jnp.asarray(P1), jnp.asarray(P2),
+                    jnp.asarray(VAL), jnp.asarray(EN),
+                    jnp.asarray(self.bin_conf_2d2d),
+                    self.m_th / Km[0, 0],
+                    norm_scale=cfg.parsac_norm_scale,
+                    num_hypotheses=cfg.ransac_hypotheses,
+                )
+                self.bin_conf_2d2d = conf_dev
+                masks = asnp(masks_dev)
             for row in range(Kc):
                 kp_idx = kp_rows[row]
                 if kp_idx is None:
