@@ -41,7 +41,7 @@ class SyntheticSequence:
     ba_true: np.ndarray
 
 
-def _pose_at(t, rng_phase, period=60.0):
+def _pose_at(t, rng_phase, period=60.0, excitation=0.0):
     """Analytic trajectory: circle + vertical bob; the body/camera z-axis
     points radially outward (at the landmark ring), x tangent. Returns (q_wb
     wxyz, p_wb)."""
@@ -55,6 +55,15 @@ def _pose_at(t, rng_phase, period=60.0):
         ],
         axis=-1,
     )
+    if excitation:
+        # higher-frequency translational wobble: visual-inertial scale is
+        # only observable under acceleration (the near-constant-velocity
+        # base circle has |a| ~ 0.03 m/s^2); real sequences (EuRoC) start
+        # with a shake for exactly this reason
+        p = p + excitation * np.stack(
+            [np.sin(5.0 * t), np.sin(6.3 * t + 0.7), np.cos(4.1 * t)],
+            axis=-1,
+        )
     c, s = np.cos(w * t), np.sin(w * t)
     zero = np.zeros_like(t)
     one = np.ones_like(t)
@@ -97,6 +106,7 @@ def generate(
     K_mat=None,
     image_size=(752, 480),
     seed: int = 648,
+    excitation: float = 0.0,
     n_dynamic: int = 0,
     dynamic_velocity: float = 0.5,
     dynamic_mode: str = "random",  # "random" per-point | "rigid" shared motion
@@ -110,13 +120,13 @@ def generate(
     # --- IMU stream from numeric differentiation of the analytic pose ---
     t_imu = np.arange(0.0, duration, 1.0 / imu_rate)
     h = 1e-4
-    q0, p0 = _pose_at(t_imu, phase, period)
-    _, p_plus = _pose_at(t_imu + h, phase, period)
-    _, p_minus = _pose_at(t_imu - h, phase, period)
+    q0, p0 = _pose_at(t_imu, phase, period, excitation)
+    _, p_plus = _pose_at(t_imu + h, phase, period, excitation)
+    _, p_minus = _pose_at(t_imu - h, phase, period, excitation)
     v = (p_plus - p_minus) / (2 * h)
     a_world = (p_plus - 2 * p0 + p_minus) / (h * h)
     R0 = _quat_to_R(q0)
-    qp, _ = _pose_at(t_imu + h, phase, period)
+    qp, _ = _pose_at(t_imu + h, phase, period, excitation)
     # body rates: logmap(q(t)^-1 q(t+h)) / h
     R_rel = np.einsum("nij,nik->njk", R0, _quat_to_R(qp))  # R0^T R(t+h)
     w_body = Rotation.from_matrix(R_rel).as_rotvec() / h
@@ -134,9 +144,9 @@ def generate(
 
     # --- camera frames ---
     t_frame = np.arange(0.0, duration, 1.0 / cam_rate)
-    q_wb, p_wb = _pose_at(t_frame, phase, period)
-    _, pf_plus = _pose_at(t_frame + h, phase, period)
-    _, pf_minus = _pose_at(t_frame - h, phase, period)
+    q_wb, p_wb = _pose_at(t_frame, phase, period, excitation)
+    _, pf_plus = _pose_at(t_frame + h, phase, period, excitation)
+    _, pf_minus = _pose_at(t_frame - h, phase, period, excitation)
     v_wb = (pf_plus - pf_minus) / (2 * h)
     R_wb = _quat_to_R(q_wb)
 

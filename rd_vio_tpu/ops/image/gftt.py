@@ -95,8 +95,29 @@ def detect_gftt(
     )
     flat = jnp.where(ok, resp, -jnp.inf).reshape(-1)
     scores, idx = jax.lax.top_k(flat, cand_cap)
+    cx = (idx % W).astype(jnp.int32)
+    cy = (idx // W).astype(jnp.int32)
+    # sub-pixel refinement: separable quadratic fit on the 3x3 response
+    # neighborhood of each NMS maximum (integer-pixel corners bias the
+    # landmark anchor bearings by up to ~0.5 px + response-shape offset;
+    # measured on the rendered-blob e2e this cuts detection error ~5x).
+    # Offsets are clamped to +-0.5 (an NMS max cannot truly be farther).
+    xm = jnp.clip(cx, 1, W - 2)
+    ym = jnp.clip(cy, 1, H - 2)
+    c0 = resp[ym, xm]
+    rx1 = resp[ym, xm + 1]
+    rx0 = resp[ym, xm - 1]
+    ry1 = resp[ym + 1, xm]
+    ry0 = resp[ym - 1, xm]
+    dxx = rx1 - 2.0 * c0 + rx0
+    dyy = ry1 - 2.0 * c0 + ry0
+    off_x = jnp.where(dxx < 0, -0.5 * (rx1 - rx0) / jnp.where(dxx < 0, dxx, -1.0), 0.0)
+    off_y = jnp.where(dyy < 0, -0.5 * (ry1 - ry0) / jnp.where(dyy < 0, dyy, -1.0), 0.0)
+    off_x = jnp.clip(off_x, -0.5, 0.5)
+    off_y = jnp.clip(off_y, -0.5, 0.5)
     cand = jnp.stack(
-        [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1
+        [cx.astype(jnp.float32) + off_x, cy.astype(jnp.float32) + off_y],
+        axis=-1,
     )
     cand_valid = jnp.isfinite(scores)
 
