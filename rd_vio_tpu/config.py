@@ -164,6 +164,11 @@ class Config:
     # same placement choice for the per-frame IMU-PARSAC judge + 2D-2D
     # keyframe checks (ops/parsac_np vs ops/parsac device programs)
     parsac_host_masks: bool = True
+    # initializer essential hypotheses: False = batched 8-point (device,
+    # ops/epipolar), True = Nistér 5-point host solve (ops/essential5; the
+    # reference's essential.cpp:9-218 path). A/B: scripts/ab_essential.py —
+    # equivalent on the synthetic corpus, 8pt stays the default
+    initializer_use_5pt: bool = False
     solver_dtype: str = "float64"  # keyframe/marginalization solves (prior conditioning)
     fast_solver_dtype: str = "float32"  # prior-free per-frame solves (localize/subwindow)
     # keyframe window solve: f32 is safe because the marginalization prior

@@ -235,11 +235,27 @@ class Initializer:
         RH1, RH2, TH1, TH2, n1, n2, pure = homography.decompose_homography(resH.model)
         if bool(pure):
             return False  # pure rotation (reference initializer.cpp:188-191)
-        resE = ransac.ransac_essential(
-            self._next_key(), jnp.asarray(p1p), jnp.asarray(p2p),
-            jnp.asarray(valid), thr, 512,
-        )
-        RE1, RE2, TE = epipolar.decompose_essential(resE.model)
+        if cfg.initializer_use_5pt:
+            # Nistér 5-point minimal solver (reference essential.cpp:9-218)
+            # on HOST — the 10x10 nonsymmetric eigensolve has no TPU
+            # equivalent and init runs once per bootstrap attempt. A/B'd
+            # against the batched 8-point path in scripts/ab_essential.py.
+            from rd_vio_tpu.ops.essential5 import ransac_essential_5pt
+            from rd_vio_tpu.ops.frontend_step_np import _rng_from_key
+
+            E5, _ = ransac_essential_5pt(
+                _rng_from_key(self._next_key()), p1p, p2p, valid, thr,
+                num_samples=128,
+            )
+            if E5 is None:
+                return False
+            RE1, RE2, TE = epipolar.decompose_essential(jnp.asarray(E5))
+        else:
+            resE = ransac.ransac_essential(
+                self._next_key(), jnp.asarray(p1p), jnp.asarray(p2p),
+                jnp.asarray(valid), thr, 512,
+            )
+            RE1, RE2, TE = epipolar.decompose_essential(resE.model)
 
         def unit(v):
             return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
