@@ -5,6 +5,8 @@ The synthetic analogue of the reference's examples/test_euroc.cpp runner.
 Usage: python examples/run_synthetic.py [duration_s] [--images] [--threaded]
   --images    render pixel images and use the real CLAHE/GFTT/KLT frontend
               instead of the perfect-match backend.
+  --klt-pallas  with --images: track with the Pallas LK kernel
+              (ops/image/klt_pallas) instead of the XLA tracker.
   --threaded  run the two-stage pipeline (feature tracker / optimizer worker
               threads, the reference's THREADING=ON model) instead of inline
               synchronous dispatch.
@@ -46,6 +48,8 @@ def main():
         cfg.camera_intrinsic = rend.K
         cfg.camera_resolution = (320, 240)
         cfg.feature_tracker_min_keypoint_distance = 12.0
+        if "--klt-pallas" in sys.argv:
+            cfg.klt_backend = "pallas"
         backend = JaxImageBackend(cfg, kp_cap=256)
         image_of = rend.render
     else:

@@ -164,6 +164,11 @@ class Config:
     # same placement choice for the per-frame IMU-PARSAC judge + 2D-2D
     # keyframe checks (ops/parsac_np vs ops/parsac device programs)
     parsac_host_masks: bool = True
+    # KLT tracker implementation: "xla" = batched-gather XLA programs
+    # (ops/image/klt), "pallas" = VMEM-resident Pallas kernel
+    # (ops/image/klt_pallas; falls back to interpret mode off-TPU).
+    # A/B: scripts/bench_klt.py; equivalence: tests/test_klt_pallas.py
+    klt_backend: str = "xla"
     # initializer essential hypotheses: False = batched 8-point (device,
     # ops/epipolar), True = Nistér 5-point host solve (ops/essential5; the
     # reference's essential.cpp:9-218 path). A/B: scripts/ab_essential.py —

@@ -43,6 +43,11 @@ class JaxImageBackend:
         self.levels = levels
         self.kp_cap = kp_cap  # fixed tracking batch capacity
         self.clahe_enabled = clahe_enabled
+        # "xla" (batched-gather programs) or "pallas" (VMEM-resident kernel,
+        # ops/image/klt_pallas; interpret-mode fallback off-TPU)
+        self.klt_backend = getattr(config, "klt_backend", "xla")
+        if self.klt_backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown klt_backend {self.klt_backend!r}")
 
     # -- preprocessing --------------------------------------------------
     def preprocess(self, img: np.ndarray) -> ProcessedImage:
@@ -89,11 +94,24 @@ class JaxImageBackend:
         p[:nn] = prev_pix[:nn]
         g[:nn] = pred_pix[:nn]
         v[:nn] = True
-        tracked, status = klt_mod.lk_track_pyramid(
-            prev_image.pyramid, next_image.pyramid,
-            jnp.asarray(p), jnp.asarray(g), jnp.asarray(v),
-        )
-        status = klt_mod.lk_reverse_check(
-            prev_image.pyramid, next_image.pyramid, jnp.asarray(p), tracked, status
-        )
+        if self.klt_backend == "pallas":
+            from rd_vio_tpu.ops.image import klt_pallas as klp
+
+            tracked, status = klp.lk_track_pyramid_pallas(
+                prev_image.pyramid, next_image.pyramid,
+                jnp.asarray(p), jnp.asarray(g), jnp.asarray(v),
+                interpret=None,
+            )
+            status = klp.lk_reverse_check_pallas(
+                prev_image.pyramid, next_image.pyramid,
+                jnp.asarray(p), tracked, status, interpret=None,
+            )
+        else:
+            tracked, status = klt_mod.lk_track_pyramid(
+                prev_image.pyramid, next_image.pyramid,
+                jnp.asarray(p), jnp.asarray(g), jnp.asarray(v),
+            )
+            status = klt_mod.lk_reverse_check(
+                prev_image.pyramid, next_image.pyramid, jnp.asarray(p), tracked, status
+            )
         return np.asarray(tracked)[:n], np.asarray(status)[:n]

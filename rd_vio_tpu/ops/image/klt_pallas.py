@@ -133,19 +133,38 @@ def lk_level_pallas(img_prev, gx, gy, img_next, pts, pred, valid,
       img_prev.astype(jnp.float32), gx, gy, img_next.astype(jnp.float32))
 
 
+def _auto_interpret(interpret):
+    """None -> compiled on TPU, interpret elsewhere (CPU tests)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def lk_track_pyramid_pallas(pyr_prev, pyr_next, pts_prev, pts_pred, valid,
-                            iters: int = 30, interpret: bool = False):
+                            iters: int = 30, interpret: bool | None = False):
     """Multi-level pyramidal LK using the Pallas level kernel, mirroring
     ops/image/klt.py::lk_track_pyramid's interface."""
     from rd_vio_tpu.ops.image.klt import _grad
 
+    interpret = _auto_interpret(interpret)
     levels = len(pyr_prev)
     H, W = pyr_prev[0].shape
-    grads = [_grad(p) for p in pyr_prev]
 
-    # a level must comfortably contain the 22x22 window or clipped patches
-    # corrupt the coarse flow (amplified 2^L at the base)
-    used = [L for L in range(levels) if min(pyr_prev[L].shape) >= 2.5 * PAD]
+    # Edge-pad every level by HALF+1 so any in-image point carries a fully
+    # contained 22x22 window: the kernel clamps the window ORIGIN, which
+    # decenters border patches and corrupts the coarse flow (amplified 2^L
+    # at the base) — padding reproduces the XLA tracker's per-sample
+    # border-replicate semantics at window granularity.
+    B = HALF + 1
+    pad = lambda a: jnp.pad(a, B, mode="edge")  # noqa: E731
+    pyr_p = [pad(p) for p in pyr_prev]
+    pyr_n = [pad(p) for p in pyr_next]
+    grads = []
+    for p in pyr_prev:
+        gx, gy = _grad(p)
+        grads.append((pad(gx), pad(gy)))
+
+    used = [L for L in range(levels) if min(pyr_prev[L].shape) >= 1.5 * PAD]
     top = max(used)
 
     scale_top = 2.0**top
@@ -157,10 +176,10 @@ def lk_track_pyramid_pallas(pyr_prev, pyr_next, pts_prev, pts_pred, valid,
         s = 2.0**L
         pl_pts = pts / s
         out = lk_level_pallas(
-            pyr_prev[L], grads[L][0], grads[L][1], pyr_next[L],
-            pl_pts, cur, valid, iters=iters, interpret=interpret,
+            pyr_p[L], grads[L][0], grads[L][1], pyr_n[L],
+            pl_pts + B, cur + B, valid, iters=iters, interpret=interpret,
         )
-        tracked = out[:, :2]
+        tracked = out[:, :2] - B
         min_eig = out[:, 2]
         if L > 0:
             cur = tracked * 2.0
@@ -177,3 +196,16 @@ def lk_track_pyramid_pallas(pyr_prev, pyr_next, pts_prev, pts_pred, valid,
         & (disp < H / 4.0) & (min_eig > 1e-4)
     )
     return pts_next, status
+
+
+def lk_reverse_check_pallas(pyr_prev, pyr_next, pts_prev, pts_next, status,
+                            iters: int = 30, max_err: float = 0.5,
+                            interpret: bool | None = False):
+    """Reverse-flow consistency with the Pallas tracker (same semantics as
+    ops/image/klt.py::lk_reverse_check / reference opencv_image.cpp:130-150)."""
+    back, st_b = lk_track_pyramid_pallas(
+        pyr_next, pyr_prev, pts_next, pts_prev, status,
+        iters=iters, interpret=interpret,
+    )
+    err = jnp.linalg.norm(back - pts_prev, axis=-1)
+    return status & st_b & (err <= max_err)

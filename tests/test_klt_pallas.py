@@ -55,3 +55,30 @@ def test_pallas_pyramid_matches_xla(rng):
     # same flows within a fraction of a pixel
     d = np.linalg.norm(np.asarray(tr_pal)[both] - np.asarray(tr_ref)[both], axis=-1)
     assert np.median(d) < 0.2
+
+
+def test_backend_flag_selects_pallas(rng):
+    """JaxImageBackend(klt_backend='pallas') tracks equivalently to the XLA
+    backend through the full preprocess/track/reverse-check path."""
+    from rd_vio_tpu.config import Config
+    from rd_vio_tpu.models.image_backend import JaxImageBackend
+
+    shift = (2.6, -1.3)
+    img1, blobs = _render(rng, n_blobs=80)
+    img2, _ = _render(rng, n_blobs=80, shift=shift)
+    pts = blobs[(blobs[:, 0] > 30) & (blobs[:, 0] < 290)]
+    pts = pts[(pts[:, 1] > 30) & (pts[:, 1] < 210)][:16].astype(np.float32)
+
+    cfg = Config()
+    outs = {}
+    for be in ("xla", "pallas"):
+        cfg.klt_backend = be
+        backend = JaxImageBackend(cfg, kp_cap=16)
+        a = backend.preprocess(img1)
+        b = backend.preprocess(img2)
+        outs[be] = backend.track(a, b, pts, pts)
+
+    st = outs["xla"][1] & outs["pallas"][1]
+    assert st.mean() > 0.6
+    d = np.linalg.norm(outs["pallas"][0][st] - outs["xla"][0][st], axis=-1)
+    assert np.median(d) < 0.2
