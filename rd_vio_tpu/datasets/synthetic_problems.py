@@ -107,7 +107,6 @@ def build_window_problem(
         )
         deltas.append(d)
         sics.append(pre.sqrt_inv_cov(d.cov + 1e-14 * jnp.eye(15)))
-    delta_stack = jnp.stack if False else None
     import jax
 
     deltas_tree = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *deltas)

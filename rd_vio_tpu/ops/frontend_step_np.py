@@ -140,8 +140,11 @@ def ft_step_np(b1, b2, valid, key, rot_thresh, num_hypotheses: int):
     n_valid = int(valid.sum())
 
     # --- 1. essential RANSAC mask (threshold 1.0 — reference frame.cpp:108) --
-    pn1 = b1[:, :2] / b1[:, 2:]
-    pn2 = b2[:, :2] / b2[:, 2:]
+    # guard the divide on empty (all-zero) slots; they are masked by `valid`
+    z1 = np.where(np.abs(b1[:, 2:]) < 1e-12, 1.0, b1[:, 2:])
+    z2 = np.where(np.abs(b2[:, 2:]) < 1e-12, 1.0, b2[:, 2:])
+    pn1 = b1[:, :2] / z1
+    pn2 = b2[:, :2] / z2
     if n_valid >= 8:
         idx = sample_indices_np(rng, valid, num_hypotheses, 8)
         E = solve_essential_8pt_np(pn1[idx], pn2[idx])  # (K, 3, 3)
