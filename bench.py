@@ -150,6 +150,19 @@ def worker(argv):
         # honor the override even when a site plugin force-sets jax_platforms
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent compilation cache: the pipeline's fused programs take minutes
+    # of host-CPU XLA compile on first run; caching them on disk makes every
+    # subsequent bench (same shapes/config) start in seconds
+    if "--no-cache" not in argv:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            print(f"[bench] compile cache unavailable: {e}",
+                  file=sys.stderr, flush=True)
+
     from rd_vio_tpu.config import Config
     from rd_vio_tpu.datasets import synthetic
     from rd_vio_tpu.models import builders
@@ -225,9 +238,7 @@ def worker(argv):
 
     est_t, est_p = [], []
     n_frames = 0
-    t_track_start = None
-    frames_at_timing_start = 0
-    frames_tracked = 0
+    tracked_wall = []  # wall-clock timestamp per tracked frame
     diag = None
     t0 = time.perf_counter()
     try:
@@ -242,19 +253,14 @@ def worker(argv):
                           f"t={time.perf_counter() - t0:.0f}s",
                           file=sys.stderr, flush=True)
                 if odo.state() == 1:
-                    frames_tracked += 1
-                    # exclude initialization + jit compile warmup from
-                    # throughput: the first tracked frames still trigger cold
-                    # compiles of the subwindow/window/marginalization programs
-                    if t_track_start is None and frames_tracked == 16:
-                        t_track_start = time.perf_counter()
-                        frames_at_timing_start = frames_tracked
+                    tracked_wall.append(time.perf_counter())
                     ls = odo.handler.get_latest_state()
                     if ls is not None and (not est_t or ls[0] != est_t[-1]):
                         est_t.append(ls[0])
                         est_p.append(ls[2])
         odo.join()  # drain both pipeline stages (no-op in --sync mode)
-        t_end = time.perf_counter()
+        tracked_wall.append(time.perf_counter())  # pipeline fully drained
+        t_end = tracked_wall[-1]
         odo.close()
     except Exception as e:  # noqa: BLE001 — report what we measured anyway
         t_end = time.perf_counter()
@@ -263,12 +269,19 @@ def worker(argv):
     if hasattr(signal, "SIGALRM"):
         signal.alarm(0)  # measurement done; don't interrupt reporting
 
-    if t_track_start is None or frames_tracked < 20:
+    frames_tracked = max(len(tracked_wall) - 1, 0)
+    if frames_tracked < 20:
         _emit(0.0, diagnostic=diag or "failed to reach tracking")
         return
 
-    # throughput over the steady-state tracked portion
-    fps = (frames_tracked - frames_at_timing_start) / max(t_end - t_track_start, 1e-9)
+    # throughput over the steady-state tracked portion: the SECOND HALF of
+    # tracked frames. Cold XLA compiles fire not just at tracking start but
+    # on the first keyframe, first window-full solve, first marginalization
+    # etc. — a fixed warmup count undercounts them (round-2 lesson: the
+    # number came out 10x low); the trailing half is past every cold compile
+    # while still averaging ~60 frames
+    half = len(tracked_wall) // 2
+    fps = (len(tracked_wall) - 1 - half) / max(tracked_wall[-1] - tracked_wall[half], 1e-9)
 
     ate = float("nan")
     try:
