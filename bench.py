@@ -1,7 +1,18 @@
-"""Benchmark: end-to-end VIO frames/s + ATE on a synthetic EuRoC-like sequence.
+"""Benchmark: end-to-end VIO frames/s + ATE.
+
+Three phases in one run (round-3 structure, VERDICT r02 items 1/9):
+  1. REAL-PIXEL (headline `value`): rendered 752x480 frames through the full
+     CLAHE + pyramid + GFTT + pyramidal-LK + RANSAC + estimator path — the
+     reference's actual per-frame hot path (opencv_image.cpp:75-154).
+  2. synthetic perfect-match backend (round-1/2 ladder continuity)
+     -> "synthetic_fps"/"synthetic_ate_m".
+  3. --light config (code defaults) on the synthetic backend
+     -> "light_fps"/"light_ate_m", so both config ladders stay comparable.
+All phases share one Caps profile, so phase 1 compiles the solver programs
+and later phases reuse them.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+ optional
-"diagnostic"/"ate_m"/"platform" detail keys) and ALWAYS exits 0.
+"diagnostic"/"ate_m"/"platform"/phase detail keys) and ALWAYS exits 0.
 
 Capture-proof design (round-1 failure: the axon TPU tunnel hung/errored at
 backend init and the bench died with rc=1 and no JSON):
@@ -168,6 +179,7 @@ def worker(argv):
     from rd_vio_tpu.models import builders
     from rd_vio_tpu.models.feature_tracker import SyntheticBackend
     from rd_vio_tpu.models.odometry import Odometry
+    from rd_vio_tpu.utils.metrics import GLOBAL_TIMER
     from rd_vio_tpu.utils.trajectory import ate_rmse
 
     import numpy as np
@@ -178,8 +190,10 @@ def worker(argv):
     # in-worker watchdog: fire before the supervisor's hard kill so a slow
     # (but not hung) run still reports the fps measured so far
     budget = float(os.environ.get("RDVIO_BENCH_WORKER_BUDGET", "0"))
+    watchdog = {"fired": False}
     if budget > 0 and hasattr(signal, "SIGALRM"):
         def _alarm(signum, frm):
+            watchdog["fired"] = True
             raise TimeoutError(f"bench watchdog at {budget * 0.92:.0f}s")
 
         signal.signal(signal.SIGALRM, _alarm)
@@ -193,117 +207,201 @@ def worker(argv):
 
         atexit.register(jax.profiler.stop_trace)
 
-    duration = 8.0
-    seq = synthetic.generate(duration=duration, n_landmarks=1200, max_keypoints=150)
-    if "--light" in argv:
-        # round-1 configuration (code defaults: parsac off, window 10,
-        # 3 subframes, 10 solver iterations) — kept for ladder comparisons
-        cfg = Config()
-    else:
-        # DEFAULT: the reference's shipped configuration — setting.yaml
-        # semantics (parsac ON, window 12, 5 subframes, 30 LM iterations,
-        # keyframe_check 1); loads the actual file when present
-        ref_yaml = "/root/reference/configs/setting.yaml"
-        if os.path.exists(ref_yaml):
-            from rd_vio_tpu.config import load_config
-
-            cfg = load_config(setting_yaml=ref_yaml)
-        else:
-            cfg = Config()
-            cfg.sliding_window_size = 12
-            cfg.sliding_window_subframe_size = 5
-            cfg.sliding_window_force_keyframe_landmarks = 50
-            cfg.feature_tracker_min_keypoint_distance = 10.0
-            cfg.feature_tracker_max_keypoint_detection = 200
-            cfg.feature_tracker_max_frames = 20
-            cfg.solver_iteration_limit = 30
-            cfg.rotation_misalignment_threshold = 0.02
-            cfg.parsac_flag = True
-            cfg.parsac_dynamic_probability = 0.15
-            cfg.parsac_threshold = 1.0
-            cfg.parsac_keyframe_check_size = 1
-    cfg.camera_intrinsic = seq.K_mat
-    cfg.ransac_hypotheses = 128
-    caps = builders.Caps(W=cfg.sliding_window_size + 3, L=256, O=1536,
-                         Fi=16, R=128, IMU=64, IMU_KF=384)
-    # threaded two-stage pipeline (the reference's THREADING=ON default):
-    # feature tracking overlaps the optimizer; pass --sync for inline dispatch
     threaded = "--sync" not in argv
-    odo = Odometry(cfg, SyntheticBackend(seq), caps=caps, threaded=threaded)
 
-    events = sorted(
-        [(t, 1, i) for i, t in enumerate(seq.t_imu)]
-        + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
-    )
+    def make_config(light: bool) -> Config:
+        if light:
+            # round-1 configuration (code defaults: parsac off, window 10,
+            # 3 subframes, 10 solver iterations) — kept for ladder comparisons
+            cfg = Config()
+        else:
+            # the reference's shipped configuration — setting.yaml semantics
+            # (parsac ON, window 12, 5 subframes, 30 LM iterations,
+            # keyframe_check 1); loads the actual file when present
+            ref_yaml = "/root/reference/configs/setting.yaml"
+            if os.path.exists(ref_yaml):
+                from rd_vio_tpu.config import load_config
 
-    est_t, est_p = [], []
-    n_frames = 0
-    tracked_wall = []  # wall-clock timestamp per tracked frame
-    diag = None
-    t0 = time.perf_counter()
-    try:
-        for t, kind, i in events:
-            if kind == 1:
-                odo.add_motion(t, seq.gyro[i], seq.accel[i])
+                cfg = load_config(setting_yaml=ref_yaml)
             else:
-                odo.add_frame(t, i)
-                n_frames += 1
-                if n_frames % 25 == 0:
-                    print(f"[bench] frame {n_frames} state {odo.state()} "
-                          f"t={time.perf_counter() - t0:.0f}s",
-                          file=sys.stderr, flush=True)
-                if odo.state() == 1:
-                    tracked_wall.append(time.perf_counter())
-                    ls = odo.handler.get_latest_state()
-                    if ls is not None and (not est_t or ls[0] != est_t[-1]):
-                        est_t.append(ls[0])
-                        est_p.append(ls[2])
-        odo.join()  # drain both pipeline stages (no-op in --sync mode)
-        tracked_wall.append(time.perf_counter())  # pipeline fully drained
-        t_end = tracked_wall[-1]
-        odo.close()
-    except Exception as e:  # noqa: BLE001 — report what we measured anyway
-        t_end = time.perf_counter()
-        diag = f"{type(e).__name__}: {e}"
-        print(f"[bench] pipeline error: {diag}", file=sys.stderr, flush=True)
+                cfg = Config()
+                cfg.sliding_window_size = 12
+                cfg.sliding_window_subframe_size = 5
+                cfg.sliding_window_force_keyframe_landmarks = 50
+                cfg.feature_tracker_min_keypoint_distance = 10.0
+                cfg.feature_tracker_max_keypoint_detection = 200
+                cfg.feature_tracker_max_frames = 20
+                cfg.solver_iteration_limit = 30
+                cfg.rotation_misalignment_threshold = 0.02
+                cfg.parsac_flag = True
+                cfg.parsac_dynamic_probability = 0.15
+                cfg.parsac_threshold = 1.0
+                cfg.parsac_keyframe_check_size = 1
+        cfg.ransac_hypotheses = 128
+        return cfg
+
+    # one Caps profile for EVERY phase: identical static shapes => the jitted
+    # programs compiled by the first phase are reused by all later phases
+    # (and match the persistent .jax_cache across runs)
+    CAPS = builders.Caps(W=15, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
+
+    def run_pipeline(tag, cfg, seq, backend, frame_arg):
+        """Drive one full ingest; returns (fps, ate, tracked, diag)."""
+        odo = Odometry(cfg, backend, caps=CAPS, threaded=threaded)
+        events = sorted(
+            [(t, 1, i) for i, t in enumerate(seq.t_imu)]
+            + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
+        )
+        est_t, est_p = [], []
+        n_frames = 0
+        tracked_wall = []  # wall-clock timestamp per tracked frame
+        drained = False
+        diag = None
+        t0 = time.perf_counter()
+        try:
+            for t, kind, i in events:
+                if kind == 1:
+                    odo.add_motion(t, seq.gyro[i], seq.accel[i])
+                else:
+                    odo.add_frame(t, frame_arg(i))
+                    n_frames += 1
+                    if n_frames % 25 == 0:
+                        print(f"[bench:{tag}] frame {n_frames} state "
+                              f"{odo.state()} t={time.perf_counter() - t0:.0f}s",
+                              file=sys.stderr, flush=True)
+                    if odo.state() == 1:
+                        tracked_wall.append(time.perf_counter())
+                        ls = odo.handler.get_latest_state()
+                        if ls is not None and (not est_t or ls[0] != est_t[-1]):
+                            est_t.append(ls[0])
+                            est_p.append(ls[2])
+            odo.join()  # drain both pipeline stages (no-op in --sync mode)
+            if threaded:
+                # the drain interval is real pipeline work in threaded mode;
+                # in --sync it is ~0 and would overstate fps by one frame
+                tracked_wall.append(time.perf_counter())
+                drained = True
+            t_end = time.perf_counter()
+            odo.close()
+        except Exception as e:  # noqa: BLE001 — report what we measured
+            t_end = time.perf_counter()
+            diag = f"{type(e).__name__}: {e}"
+            print(f"[bench:{tag}] pipeline error: {diag}",
+                  file=sys.stderr, flush=True)
+            try:
+                odo.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+        frames_tracked = len(tracked_wall) - (1 if drained else 0)
+        if frames_tracked < 20:
+            return 0.0, float("nan"), frames_tracked, \
+                diag or "failed to reach tracking"
+
+        # throughput over the steady-state tracked portion: the SECOND HALF
+        # of tracked frames — past tracking-start compiles — then pushed
+        # further right past any residual cold-compile spike (an interval
+        # >= max(1s, 8x median) inside the window means a first-keyframe /
+        # first-marginalization compile still landed there)
+        stamps = np.asarray(tracked_wall)
+        start = len(stamps) // 2
+        dts = np.diff(stamps)
+        if start < len(dts):
+            med = float(np.median(dts)) if len(dts) else 0.0
+            spike_thr = max(1.0, 8.0 * med)
+            spikes = [i for i in range(start, len(dts)) if dts[i] > spike_thr]
+            if spikes and (len(dts) - (spikes[-1] + 1)) >= 10:
+                start = spikes[-1] + 1
+        n_int = len(stamps) - 1 - start
+        fps = n_int / max(stamps[-1] - stamps[start], 1e-9)
+
+        ate = float("nan")
+        try:
+            est_pa = np.asarray(est_p)
+            gt_by_t = {round(tt, 6): p for tt, p in zip(seq.t_frame, seq.p_wb)}
+            gt = np.stack([gt_by_t[round(tt, 6)] for tt in est_t])
+            ate = ate_rmse(est_pa, gt)
+        except Exception as e:  # noqa: BLE001
+            diag = diag or f"ATE computation failed: {e}"
+
+        print(f"[bench:{tag}] total wall {t_end - t0:.1f}s, frames "
+              f"{n_frames}, tracked {frames_tracked}, fps {fps:.2f}, "
+              f"ATE {ate:.4f} m", file=sys.stderr, flush=True)
+        for stage, st in sorted(GLOBAL_TIMER.stats().items()):
+            print(f"[bench:{tag}] stage {stage}: mean {st['mean_ms']:.1f} ms "
+                  f"p50 {st['p50_ms']:.1f} p90 {st['p90_ms']:.1f} "
+                  f"(n={st['n']})", file=sys.stderr, flush=True)
+        GLOBAL_TIMER.reset()
+        return float(fps), float(ate), frames_tracked, diag
+
+    extra = {}
+    diag = None
+
+    # --- phase 1 (headline): REAL-PIXEL frontend at 752x480 ---------------
+    # CLAHE + pyramid + GFTT + pyramidal LK + RANSAC + full estimator — the
+    # reference's actual hot path (opencv_image.cpp:75-154). Rendered frames
+    # are precomputed so the clock measures VIO, not the data source (the
+    # reference reads PNGs from disk).
+    cfg = make_config(light="--light" in argv)
+    try:
+        from rd_vio_tpu.datasets.renderer import SequenceRenderer
+        from rd_vio_tpu.models.image_backend import JaxImageBackend
+
+        seq_r = synthetic.generate(duration=8.0, n_landmarks=1200,
+                                   max_keypoints=150, excitation=0.05)
+        rend = SequenceRenderer(seq_r, image_size=(752, 480))
+        t_r = time.perf_counter()
+        frames = [rend.render(i) for i in range(len(seq_r.t_frame))]
+        print(f"[bench] rendered {len(frames)} frames at 752x480 in "
+              f"{time.perf_counter() - t_r:.1f}s", file=sys.stderr, flush=True)
+        cfg.camera_intrinsic = rend.K
+        cfg.camera_resolution = (752, 480)
+        # kp_cap matches FeatureTracker.KP_CAP: with 200 detections/frame the
+        # per-frame keypoint count can exceed 256
+        backend = JaxImageBackend(cfg, kp_cap=384)
+        real_fps, real_ate, n_tr, d = run_pipeline(
+            "real", cfg, seq_r, backend, lambda i: frames[i])
+        diag = diag or d
+        extra["real_ate_m"] = round(real_ate, 5)
+    except Exception as e:  # noqa: BLE001
+        real_fps, real_ate = 0.0, float("nan")
+        diag = diag or f"real-pixel phase failed: {type(e).__name__}: {e}"
+        print(f"[bench] {diag}", file=sys.stderr, flush=True)
+
+    # --- phase 2: perfect-match synthetic backend (round-1/2 ladder) ------
+    cfg2 = make_config(light="--light" in argv)
+    seq_s = synthetic.generate(duration=8.0, n_landmarks=1200,
+                               max_keypoints=150)
+    cfg2.camera_intrinsic = seq_s.K_mat
+    if not watchdog["fired"]:
+        try:
+            synth_fps, synth_ate, _, d = run_pipeline(
+                "synthetic", cfg2, seq_s, SyntheticBackend(seq_s), lambda i: i)
+            diag = diag or d
+            extra["synthetic_fps"] = round(synth_fps, 3)
+            extra["synthetic_ate_m"] = round(synth_ate, 5)
+        except Exception as e:  # noqa: BLE001
+            diag = diag or f"synthetic phase failed: {type(e).__name__}: {e}"
+
+    # --- phase 3: --light config (code defaults), synthetic backend -------
+    if "--light" not in argv and "--skip-light" not in argv \
+            and not watchdog["fired"]:
+        try:
+            cfg3 = make_config(light=True)
+            cfg3.camera_intrinsic = seq_s.K_mat
+            light_fps, light_ate, _, d = run_pipeline(
+                "light", cfg3, seq_s, SyntheticBackend(seq_s), lambda i: i)
+            extra["light_fps"] = round(light_fps, 3)
+            extra["light_ate_m"] = round(light_ate, 5)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] light phase failed: {e}", file=sys.stderr,
+                  flush=True)
+
     if hasattr(signal, "SIGALRM"):
         signal.alarm(0)  # measurement done; don't interrupt reporting
 
-    frames_tracked = max(len(tracked_wall) - 1, 0)
-    if frames_tracked < 20:
-        _emit(0.0, diagnostic=diag or "failed to reach tracking")
-        return
-
-    # throughput over the steady-state tracked portion: the SECOND HALF of
-    # tracked frames. Cold XLA compiles fire not just at tracking start but
-    # on the first keyframe, first window-full solve, first marginalization
-    # etc. — a fixed warmup count undercounts them (round-2 lesson: the
-    # number came out 10x low); the trailing half is past every cold compile
-    # while still averaging ~60 frames
-    half = len(tracked_wall) // 2
-    fps = (len(tracked_wall) - 1 - half) / max(tracked_wall[-1] - tracked_wall[half], 1e-9)
-
-    ate = float("nan")
-    try:
-        est_pa = np.asarray(est_p)
-        gt_by_t = {round(tt, 6): p for tt, p in zip(seq.t_frame, seq.p_wb)}
-        gt = np.stack([gt_by_t[round(tt, 6)] for tt in est_t])
-        ate = ate_rmse(est_pa, gt)
-    except Exception as e:  # noqa: BLE001
-        diag = diag or f"ATE computation failed: {e}"
-
-    print(f"[bench] total wall {t_end - t0:.1f}s, frames {n_frames}, "
-          f"tracked {frames_tracked}, fps {fps:.2f}, ATE {ate:.4f} m",
-          file=sys.stderr, flush=True)
-    from rd_vio_tpu.utils.metrics import GLOBAL_TIMER
-
-    for stage, st in sorted(GLOBAL_TIMER.stats().items()):
-        print(f"[bench] stage {stage}: mean {st['mean_ms']:.1f} ms "
-              f"p50 {st['p50_ms']:.1f} p90 {st['p90_ms']:.1f} (n={st['n']})",
-              file=sys.stderr, flush=True)
-
-    _emit(fps, diagnostic=diag, ate_m=round(ate, 5),
-          platform=jax.devices()[0].platform)
+    _emit(real_fps, diagnostic=diag, ate_m=round(real_ate, 5),
+          platform=jax.devices()[0].platform, **extra)
 
 
 def main():

@@ -365,6 +365,10 @@ def _assemble(spec: BASpec, caps: Caps, calib: CalibArrays):
     oi = 0
     for tgt, anchor, track, fixed_depth in spec.reproj:
         if oi >= O:
+            logging.getLogger(__name__).warning(
+                "solve assembly: observation budget exhausted (O=%d); "
+                "remaining reprojection factors dropped (raise Caps.O)", O,
+            )
             break
         if tgt.id not in slot or anchor.id not in slot:
             continue
@@ -373,6 +377,10 @@ def _assemble(spec: BASpec, caps: Caps, calib: CalibArrays):
             if not fixed_depth or len(lm_slot) >= L:
                 if not fixed_depth:
                     continue
+                logging.getLogger(__name__).warning(
+                    "solve assembly: landmark budget exhausted (L=%d); "
+                    "remaining factors dropped (raise Caps.L)", L,
+                )
                 break
             ls = len(lm_slot)
             lm_slot[track.id] = ls

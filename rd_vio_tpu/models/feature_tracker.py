@@ -101,6 +101,7 @@ class FeatureTracker:
         self._rng_key = jax.random.PRNGKey(config.random + 1)
         self._frame_counter = 0
         self.latest_state = None  # (t, q, p, v, bg, ba)
+        self._pending_detect = None  # new-keypoint pixels from the fused step
 
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
@@ -214,9 +215,24 @@ class FeatureTracker:
                 axis=-1,
             )
 
-        next_pix_raw, status = self.backend.track(
-            last.image, frame.image, curr_pix, pred_pix
-        )
+        detect_due = (
+            self._frame_counter
+            % max(cfg.sliding_window_tracker_frequent, 1)
+        ) == 0
+        if detect_due and hasattr(self.backend, "track_and_detect"):
+            # fused device step: LK fwd+rev + GFTT in ONE dispatch + fetch
+            # (detection spacing runs against the fwd+rev survivors — a
+            # conservative superset of the finally-accepted tracks)
+            next_pix_raw, status, self._pending_detect = \
+                self.backend.track_and_detect(
+                    last.image, frame.image, curr_pix, pred_pix,
+                    cfg.feature_tracker_max_keypoint_detection,
+                    cfg.feature_tracker_min_keypoint_distance,
+                )
+        else:
+            next_pix_raw, status = self.backend.track(
+                last.image, frame.image, curr_pix, pred_pix
+            )
         next_bearings = self._bearing_from_pix(
             np.where(status[:, None], next_pix_raw, curr_pix)
         )
@@ -310,12 +326,17 @@ class FeatureTracker:
 
     def _detect_keypoints(self, frame: Frame):
         cfg = self.config
-        existing = self._pix_from_bearings(frame)
-        new_pix = self.backend.detect(
-            frame.image, existing,
-            cfg.feature_tracker_max_keypoint_detection,
-            cfg.feature_tracker_min_keypoint_distance,
-        )
+        if self._pending_detect is not None:
+            # detections already computed inside the fused track step
+            new_pix = self._pending_detect
+            self._pending_detect = None
+        else:
+            existing = self._pix_from_bearings(frame)
+            new_pix = self.backend.detect(
+                frame.image, existing,
+                cfg.feature_tracker_max_keypoint_detection,
+                cfg.feature_tracker_min_keypoint_distance,
+            )
         if len(new_pix) == 0:
             return
         for b in self._bearing_from_pix(asnp(new_pix)):

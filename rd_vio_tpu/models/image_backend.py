@@ -5,19 +5,52 @@ Plays the role of the reference's `extra::OpenCvImage`
 (types.h:153-177): preprocess = CLAHE + 3-level pyramid (:156-161), detect =
 GFTT + Poisson spacing + border (:38-73), track = fwd/bwd pyramidal LK
 (:75-154). All kernels are jitted JAX programs from rd_vio_tpu.ops.image.
+
+Round-3 latency shape: on a remote-attached chip every blocking fetch costs a
+~30 ms round trip, so the per-frame work is fused into ONE program + ONE
+fetch: forward LK + reverse-flow check + (on detection frames) Harris GFTT
+spaced against the surviving tracked points (`track_and_detect`).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rd_vio_tpu.ops.image import clahe as clahe_mod
 from rd_vio_tpu.ops.image import gftt as gftt_mod
 from rd_vio_tpu.ops.image import klt as klt_mod
 from rd_vio_tpu.ops.image import pyramid as pyr_mod
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_points", "min_dist", "use_pallas", "interpret"))
+def _track_detect_fused(pyr_prev, pyr_next, p, g, v,
+                        max_points: int, min_dist: float,
+                        use_pallas: bool, interpret):
+    """Fused per-frame frontend program: LK fwd+rev + GFTT on the new frame
+    spaced against the surviving tracked points. One dispatch, one fetch."""
+    if use_pallas:
+        from rd_vio_tpu.ops.image import klt_pallas as klp
+
+        tracked, status = klp.lk_track_fwd_rev_pallas(
+            pyr_prev, pyr_next, p, g, v, interpret=interpret)
+    else:
+        tracked, status = klt_mod.lk_track_fwd_rev(pyr_prev, pyr_next, p, g, v)
+    # detection preset = tracked survivors (fwd+rev ok). This is a slightly
+    # conservative superset of the final accepted set (the host Poisson
+    # re-filter may drop a few more), matching the reference's semantics of
+    # spacing detections against current keypoints (opencv_image.cpp:38-73).
+    preset = jnp.where(status[:, None], tracked, jnp.float32(-1e6))
+    pix, val, _ = gftt_mod.detect_gftt(
+        pyr_next[0], preset, status,
+        max_points=max_points, min_dist=min_dist,
+    )
+    return tracked, status, pix, val
 
 
 class ProcessedImage:
@@ -83,6 +116,17 @@ class JaxImageBackend:
         )
         return np.asarray(pix)[np.asarray(valid)]
 
+    def _check_cap(self, n: int) -> int:
+        if n > self.kp_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "image backend keypoint capacity exceeded (%d > kp_cap=%d); "
+                "extra keypoints lost this frame (raise kp_cap)",
+                n, self.kp_cap,
+            )
+        return min(n, self.kp_cap)
+
     def track(self, prev_image: ProcessedImage, next_image: ProcessedImage,
               prev_pix, pred_pix) -> Tuple[np.ndarray, np.ndarray]:
         n = len(prev_pix)
@@ -90,28 +134,60 @@ class JaxImageBackend:
         p = np.zeros((cap, 2), np.float32)
         g = np.zeros((cap, 2), np.float32)
         v = np.zeros(cap, bool)
-        nn = min(n, cap)
+        nn = self._check_cap(n)
         p[:nn] = prev_pix[:nn]
         g[:nn] = pred_pix[:nn]
         v[:nn] = True
         if self.klt_backend == "pallas":
             from rd_vio_tpu.ops.image import klt_pallas as klp
 
-            tracked, status = klp.lk_track_pyramid_pallas(
+            tracked, status = klp.lk_track_fwd_rev_pallas(
                 prev_image.pyramid, next_image.pyramid,
                 jnp.asarray(p), jnp.asarray(g), jnp.asarray(v),
                 interpret=None,
             )
-            status = klp.lk_reverse_check_pallas(
-                prev_image.pyramid, next_image.pyramid,
-                jnp.asarray(p), tracked, status, interpret=None,
-            )
         else:
-            tracked, status = klt_mod.lk_track_pyramid(
+            tracked, status = klt_mod.lk_track_fwd_rev(
                 prev_image.pyramid, next_image.pyramid,
                 jnp.asarray(p), jnp.asarray(g), jnp.asarray(v),
             )
-            status = klt_mod.lk_reverse_check(
-                prev_image.pyramid, next_image.pyramid, jnp.asarray(p), tracked, status
-            )
-        return np.asarray(tracked)[:n], np.asarray(status)[:n]
+        # one blocking fetch for both results (latency-bound link)
+        tracked, status = jax.device_get((tracked, status))
+        return self._fit(np.asarray(tracked), n), self._fit(
+            np.asarray(status), n)
+
+    @staticmethod
+    def _fit(a: np.ndarray, n: int) -> np.ndarray:
+        """Return exactly n rows: slice, or zero-pad (status False / pixel 0)
+        for over-capacity slots already warned about in _check_cap."""
+        if len(a) >= n:
+            return a[:n]
+        pad = np.zeros((n - len(a),) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    def track_and_detect(self, prev_image: ProcessedImage,
+                         next_image: ProcessedImage, prev_pix, pred_pix,
+                         max_points: int, min_dist: float):
+        """Fused per-frame step (one dispatch + one fetch): LK fwd+rev plus
+        GFTT detection on the new frame. Returns (next_pix (N, 2),
+        status (N,), new_pix (M, 2))."""
+        n = len(prev_pix)
+        cap = self.kp_cap
+        p = np.zeros((cap, 2), np.float32)
+        g = np.zeros((cap, 2), np.float32)
+        v = np.zeros(cap, bool)
+        nn = self._check_cap(n)
+        p[:nn] = prev_pix[:nn]
+        g[:nn] = pred_pix[:nn]
+        v[:nn] = True
+        use_pallas = self.klt_backend == "pallas"
+        interpret = None if use_pallas else False
+        tracked, status, pix, val = jax.device_get(_track_detect_fused(
+            prev_image.pyramid, next_image.pyramid,
+            jnp.asarray(p), jnp.asarray(g), jnp.asarray(v),
+            max_points=int(max_points), min_dist=float(min_dist),
+            use_pallas=use_pallas, interpret=interpret,
+        ))
+        return (self._fit(np.asarray(tracked), n),
+                self._fit(np.asarray(status), n),
+                np.asarray(pix)[np.asarray(val)])

@@ -18,6 +18,8 @@ estimation/marginalization.py).
 
 from __future__ import annotations
 
+import logging
+
 from typing import Optional
 
 import numpy as np
@@ -963,6 +965,14 @@ class SlidingWindowTracker:
             if t.inv_depth <= 0 or t.first_frame_id() not in frames_by_id:
                 continue
             if n >= Ncap:
+                # fail loudly at capacity (round-3 hygiene, mirrors the
+                # round-1 validation-overflow fix): silently dropping
+                # triangulated tracks skews the static/dynamic vote
+                logging.getLogger(__name__).warning(
+                    "judge_track_status: triangulated tracks exceed "
+                    "caps.L=%d; extra tracks ignored this frame "
+                    "(raise Caps.L)", Ncap,
+                )
                 break
             b = curr.bearings[k]
             P2D[n] = b[:2] / b[2]

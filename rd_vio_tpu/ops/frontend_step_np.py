@@ -48,6 +48,17 @@ def _homog(p):
     return np.concatenate([p, np.ones_like(p[..., :1])], axis=-1)
 
 
+def _batched_apply(M, pts):
+    """Apply a bank of K 3x3 matrices to N shared points in ONE GEMM.
+
+    M: (K, 3, 3), pts: (N, 3) -> (K, N, 3). np.einsum lowers this to the
+    slow c_einsum loop (~1.6 ms/call at K=128, N=385 — measured round 3);
+    reshaping to a single (3K, 3) @ (3, N) BLAS GEMM is ~100x faster."""
+    K = M.shape[0]
+    out = M.reshape(3 * K, 3) @ pts.T  # (3K, N)
+    return out.reshape(K, 3, -1).transpose(0, 2, 1)
+
+
 def solve_essential_8pt_np(p1, p2):
     """Batched linear 8-point essential solver (mirror of
     ops/epipolar.solve_essential_8pt; same eigh-based manifold projection)."""
@@ -67,8 +78,8 @@ def solve_essential_8pt_np(p1, p2):
     s1 = np.sqrt(np.maximum(lam[..., 2], 0.0))
     s2 = np.sqrt(np.maximum(lam[..., 1], 0.0))
     eps = np.asarray(1e-20, E.dtype)
-    u1 = np.einsum("...ij,...j->...i", E, v1) / np.maximum(s1, eps)[..., None]
-    u2 = np.einsum("...ij,...j->...i", E, v2) / np.maximum(s2, eps)[..., None]
+    u1 = (E @ v1[..., :, None])[..., 0] / np.maximum(s1, eps)[..., None]
+    u2 = (E @ v2[..., :, None])[..., 0] / np.maximum(s2, eps)[..., None]
     s = 0.5 * (s1 + s2)
     return s[..., None, None] * (
         u1[..., :, None] * v1[..., None, :] + u2[..., :, None] * v2[..., None, :]
@@ -76,8 +87,14 @@ def solve_essential_8pt_np(p1, p2):
 
 
 def essential_geometric_error_np(E, p1, p2):
-    Ep1 = np.einsum("...ij,...nj->...ni", E, _homog(p1))
-    r = np.sum(_homog(p2) * Ep1, axis=-1)
+    h1 = _homog(p1)
+    h2 = _homog(p2)
+    if E.ndim == 3 and h1.ndim == 3 and h1.shape[0] == 1:
+        # bank-of-models x shared-points: single GEMM instead of c_einsum
+        Ep1 = _batched_apply(E, h1[0])
+    else:
+        Ep1 = np.einsum("...ij,...nj->...ni", E, h1)
+    r = np.sum(h2 * Ep1, axis=-1)
     denom = Ep1[..., 0] ** 2 + Ep1[..., 1] ** 2
     return r * r / np.maximum(denom, 1e-18)
 
@@ -96,7 +113,7 @@ def _quat_to_R_np(q):
 
 def solve_rotation_np(p1, p2):
     """Batched Davenport q-method (mirror of ops/wahba.solve_rotation)."""
-    B = np.einsum("...ni,...nj->...ij", p2, p1)
+    B = np.swapaxes(p2, -1, -2) @ p1
     sigma = np.trace(B, axis1=-2, axis2=-1)
     S = B + np.swapaxes(B, -1, -2)
     z = np.stack(
@@ -124,7 +141,10 @@ def solve_rotation_np(p1, p2):
 
 
 def rotation_angular_error_np(R, p1, p2):
-    Rp1 = np.einsum("...ij,...nj->...ni", R, p1)
+    if R.ndim == 3 and p1.ndim == 3 and p1.shape[0] == 1:
+        Rp1 = _batched_apply(R, p1[0])
+    else:
+        Rp1 = np.einsum("...ij,...nj->...ni", R, p1)
     d = np.clip(np.sum(Rp1 * p2, axis=-1), -1.0, 1.0)
     return np.arccos(d)
 

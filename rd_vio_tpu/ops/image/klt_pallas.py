@@ -1,19 +1,29 @@
-"""Pallas TPU kernel for single-level Lucas-Kanade keypoint refinement.
+"""Pallas TPU kernel for pyramidal Lucas-Kanade keypoint tracking.
 
 The hot inner loop of the KLT tracker (SURVEY.md §2 L5 / BASELINE.json
-"KLT patch-correlation at speed-of-light"): per keypoint, gather a 21x21
-patch + gradients from the previous image, then iterate the 2x2 LK update
-against the next image.
+"KLT patch-correlation at speed-of-light"): per keypoint, a 21x21 template
+patch + gradients iterated against the next image.
 
-Design (v1): both pyramid-level images and their gradients stay VMEM-resident
-for the whole grid (constant index_map -> no re-DMA per keypoint program);
-each grid step refines one keypoint with dynamic-sliced 22x22 windows and
-closed-form 2x2 solves. The multi-level wrapper composes this kernel
-coarse-to-fine like ops/image/klt.py. Falls back to interpret mode off-TPU.
+Design (v3 — round 3; replaces the one-keypoint-per-program v1, which
+failed Mosaic lowering on real TPU hardware): the *windowed* formulation
+shared with the XLA tracker (ops/image/klt.py). Per pyramid level:
 
-A follow-up optimization is to block keypoints (8-16 per program) and
-double-buffer HBM patch DMA for images larger than VMEM; at EuRoC size
-(752x480 f32 = 1.4 MB/plane) whole-plane residency is the faster layout.
+  - window extraction + template/gradient/normal-matrix setup runs ONCE in
+    XLA (`klt.prepare_level` — a single batched gather; identical math for
+    both backends);
+  - the Pallas kernel owns the LK iteration loop: grid over BLOCKs of
+    keypoints, per keypoint a `lax.while_loop` with scalar carries and an
+    eps step exit (true per-keypoint early termination — no lockstep
+    straggler cost). Each step materializes the bilinear resample as
+    `Wy @ S2 @ Wx^T` where the (WIN, SW) blend matrices are built from
+    broadcasted-iota comparisons — static shapes, MXU matmuls, NO dynamic
+    slicing (this Mosaic version cannot prove alignment of dynamic VMEM
+    slices: "cannot statically prove that index ... is a multiple of 8");
+  - search windows / templates ride in VMEM blocks; scalars (flow seeds,
+    window origins, normal-matrix entries, valid) ride in SMEM; outputs are
+    scalar SMEM stores.
+
+Falls back to interpret mode off-TPU (CPU tests).
 """
 
 from __future__ import annotations
@@ -25,112 +35,142 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALF = 10
-WIN = 2 * HALF + 1  # 21
-PAD = WIN + 1  # 22 window so bilinear needs no extra fetch
+from rd_vio_tpu.ops.image.klt import HALF, PADB, SW, WIN, prepare_level
+
+BLOCK = 8  # keypoints per program
 
 
-def _bilinear_patch(win, ax, ay):
-    """Interpolate a (WIN, WIN) patch at fractional offset (ax, ay) from a
-    (PAD, PAD) window."""
-    w00 = (1 - ay) * (1 - ax)
-    w01 = (1 - ay) * ax
-    w10 = ay * (1 - ax)
-    w11 = ay * ax
-    return (
-        w00 * win[:WIN, :WIN]
-        + w01 * win[:WIN, 1:PAD]
-        + w10 * win[1:PAD, :WIN]
-        + w11 * win[1:PAD, 1:PAD]
-    )
+def _imap2(i):
+    # index maps must return uniformly-typed int32: this package enables
+    # jax_enable_x64, under which a literal 0 traces as int64 and Mosaic
+    # rejects the mixed (i32, i64) index-map signature
+    # ("failed to legalize operation 'func.return'")
+    return i, jnp.int32(0)
 
 
-def _lk_kernel(iters: int, pts_ref, pred_ref, valid_ref, img1_ref, gx_ref,
-               gy_ref, img2_ref, out_ref):
-    i = pl.program_id(0)
-    H, W = img1_ref.shape
-
-    px = pts_ref[i, 0]
-    py = pts_ref[i, 1]
-
-    # integer corner + fractional offset of the template patch
-    fx0 = jnp.floor(px - HALF)
-    fy0 = jnp.floor(py - HALF)
-    x0 = jnp.clip(fx0.astype(jnp.int32), 0, W - PAD)
-    y0 = jnp.clip(fy0.astype(jnp.int32), 0, H - PAD)
-    ax = px - HALF - x0.astype(px.dtype)
-    ay = py - HALF - y0.astype(py.dtype)
-    ax = jnp.clip(ax, 0.0, 1.0)
-    ay = jnp.clip(ay, 0.0, 1.0)
-
-    winI = img1_ref[pl.ds(y0, PAD), pl.ds(x0, PAD)]
-    winGx = gx_ref[pl.ds(y0, PAD), pl.ds(x0, PAD)]
-    winGy = gy_ref[pl.ds(y0, PAD), pl.ds(x0, PAD)]
-    I = _bilinear_patch(winI, ax, ay)
-    Ix = _bilinear_patch(winGx, ax, ay)
-    Iy = _bilinear_patch(winGy, ax, ay)
-
-    a = jnp.sum(Ix * Ix)
-    b = jnp.sum(Ix * Iy)
-    c = jnp.sum(Iy * Iy)
-    det = a * c - b * b
-    tr = a + c
-    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / (WIN * WIN)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-
-    gx_init = pred_ref[i, 0] - px
-    gy_init = pred_ref[i, 1] - py
-
-    def body(_, flow):
-        fxx, fyy = flow
-        qx = px + fxx - HALF
-        qy = py + fyy - HALF
-        qx0 = jnp.clip(jnp.floor(qx).astype(jnp.int32), 0, W - PAD)
-        qy0 = jnp.clip(jnp.floor(qy).astype(jnp.int32), 0, H - PAD)
-        bx = jnp.clip(qx - qx0.astype(qx.dtype), 0.0, 1.0)
-        by = jnp.clip(qy - qy0.astype(qy.dtype), 0.0, 1.0)
-        winJ = img2_ref[pl.ds(qy0, PAD), pl.ds(qx0, PAD)]
-        J = _bilinear_patch(winJ, bx, by)
-        r = I - J
-        g1 = jnp.sum(Ix * r)
-        g2 = jnp.sum(Iy * r)
-        dx = inv_det * (c * g1 - b * g2)
-        dy = inv_det * (a * g2 - b * g1)
-        return (fxx + dx, fyy + dy)
-
-    fx_fin, fy_fin = jax.lax.fori_loop(0, iters, body, (gx_init, gy_init))
-
-    ok = valid_ref[i] & (min_eig > 1e-4)
-    out_ref[i, 0] = px + fx_fin
-    out_ref[i, 1] = py + fy_fin
-    out_ref[i, 2] = min_eig
-    out_ref[i, 3] = ok.astype(out_ref.dtype)
+def _imap3(i):
+    return i, jnp.int32(0), jnp.int32(0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def lk_level_pallas(img_prev, gx, gy, img_next, pts, pred, valid,
-                    iters: int = 30, interpret: bool = False):
-    """One pyramid level for all keypoints. pts/pred: (N, 2) [x, y] f32.
+def _blend_matrix_k(offset):
+    """(WIN, SW) bilinear row-selection matrix from a scalar offset
+    (in-kernel version of klt._blend_matrix)."""
+    i = jnp.clip(jnp.floor(offset), 0.0, float(SW - WIN - 1))
+    f = jnp.clip(offset - i, 0.0, 1.0)
+    ii = i.astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (WIN, SW), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (WIN, SW), 0)
+    d = col - row - ii
+    return jnp.where(d == 0, 1.0 - f, 0.0) + jnp.where(d == 1, f, 0.0)
+
+
+def _lk_iter_kernel(iters: int, eps: float,
+                    sc_ref, s2_ref, i_ref, ix_ref, iy_ref, out_ref):
+    """LK iterations for one BLOCK of keypoints.
+
+    sc_ref: SMEM (BLOCK, 10) f32 rows
+        [px, py, f0x, f0y, oy2, ox2, a, b, c, inv_det]  (valid via inv_det=0)
+    s2_ref: VMEM (BLOCK, SW, SW) search windows (next image)
+    i/ix/iy_ref: VMEM (BLOCK, WIN, WIN) template patch + gradients
+    out_ref: SMEM (BLOCK, 2) tracked [x, y] (padded coords)."""
+    f32 = jnp.float32
+    eps2 = eps * eps
+
+    for b in range(BLOCK):
+        px = sc_ref[b, 0]
+        py = sc_ref[b, 1]
+        f0x = sc_ref[b, 2]
+        f0y = sc_ref[b, 3]
+        oy2 = sc_ref[b, 4]
+        ox2 = sc_ref[b, 5]
+        a = sc_ref[b, 6]
+        bb = sc_ref[b, 7]
+        c = sc_ref[b, 8]
+        inv_det = sc_ref[b, 9]
+
+        S2 = s2_ref[b]
+        I = i_ref[b]
+        Ix = ix_ref[b]
+        Iy = iy_ref[b]
+
+        def body(carry):
+            it, flx, fly, _ = carry
+            uy = py + fly - HALF - oy2
+            ux = px + flx - HALF - ox2
+            Wy = _blend_matrix_k(uy)
+            Wx = _blend_matrix_k(ux)
+            JS = jnp.dot(Wy, S2, preferred_element_type=f32)  # (WIN, SW)
+            J = jnp.dot(JS, Wx.T, preferred_element_type=f32)  # (WIN, WIN)
+            r = I - J
+            g1 = jnp.sum(Ix * r)
+            g2 = jnp.sum(Iy * r)
+            dx = inv_det * (c * g1 - bb * g2)
+            dy = inv_det * (a * g2 - bb * g1)
+            return (it + jnp.int32(1), flx + dx, fly + dy,
+                    dx * dx + dy * dy)
+
+        def cond(carry):
+            it, _, _, step2 = carry
+            return (it < iters) & (step2 >= eps2)
+
+        # invalid slots carry inv_det == 0 -> zero step -> exits after one
+        # iteration; start active
+        _, flx, fly, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), f0x, f0y, jnp.asarray(1e9, f32))
+        )
+
+        out_ref[b, 0] = px + flx
+        out_ref[b, 1] = py + fly
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "eps", "interpret"))
+def lk_level_pallas(img_prev_pad, img_next_pad, pts, guess, valid,
+                    iters: int = 30, eps: float = 0.01,
+                    interpret: bool = False):
+    """One pyramid level for all keypoints.
+
+    img_*_pad: PADB-edge-padded (H, W) f32 level images; pts/guess: (N, 2)
+    [x, y] f32 in padded coords (N a multiple of BLOCK).
 
     Returns (N, 4): tracked x, y, min_eig, ok."""
+    f32 = jnp.float32
     n = pts.shape[0]
-    return pl.pallas_call(
-        functools.partial(_lk_kernel, iters),
-        grid=(n,),
+    assert n % BLOCK == 0, n
+    pts = pts.astype(f32)
+    guess = guess.astype(f32)
+    S2, I, Ix, Iy, a, b, c, inv_det, min_eig, oy2, ox2 = prepare_level(
+        img_prev_pad.astype(f32), img_next_pad.astype(f32), pts, guess
+    )
+    # fold validity into inv_det: zero -> zero LK step -> immediate exit
+    inv_det = jnp.where(valid, inv_det, 0.0)
+    sc = jnp.stack(
+        [pts[:, 0], pts[:, 1],
+         guess[:, 0] - pts[:, 0], guess[:, 1] - pts[:, 1],
+         oy2.astype(f32), ox2.astype(f32), a, b, c, inv_det],
+        axis=-1,
+    )
+
+    grid = (n // BLOCK,)
+    vmem = pl.ANY if interpret else pltpu.VMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
+    tracked = pl.pallas_call(
+        functools.partial(_lk_iter_kernel, iters, eps),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 10), _imap2, memory_space=smem),
+            pl.BlockSpec((BLOCK, SW, SW), _imap3, memory_space=vmem),
+            pl.BlockSpec((BLOCK, WIN, WIN), _imap3, memory_space=vmem),
+            pl.BlockSpec((BLOCK, WIN, WIN), _imap3, memory_space=vmem),
+            pl.BlockSpec((BLOCK, WIN, WIN), _imap3, memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        out_specs=pl.BlockSpec((BLOCK, 2), _imap2, memory_space=smem),
+        out_shape=jax.ShapeDtypeStruct((n, 2), f32),
         interpret=interpret,
-    )(pts.astype(jnp.float32), pred.astype(jnp.float32), valid,
-      img_prev.astype(jnp.float32), gx, gy, img_next.astype(jnp.float32))
+    )(sc, S2, I, Ix, Iy)
+    ok = valid & (min_eig > 1e-4)
+    return jnp.concatenate(
+        [tracked, min_eig[:, None], ok.astype(f32)[:, None]], axis=-1
+    )
 
 
 def _auto_interpret(interpret):
@@ -140,52 +180,43 @@ def _auto_interpret(interpret):
     return interpret
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "eps", "interpret"))
 def lk_track_pyramid_pallas(pyr_prev, pyr_next, pts_prev, pts_pred, valid,
-                            iters: int = 30, interpret: bool | None = False):
+                            iters: int = 30, eps: float = 0.01,
+                            interpret: bool | None = False):
     """Multi-level pyramidal LK using the Pallas level kernel, mirroring
-    ops/image/klt.py::lk_track_pyramid's interface."""
-    from rd_vio_tpu.ops.image.klt import _grad
-
+    ops/image/klt.py::lk_track_pyramid's interface (windowed formulation,
+    same rejection rules)."""
     interpret = _auto_interpret(interpret)
+    f32 = jnp.float32
     levels = len(pyr_prev)
     H, W = pyr_prev[0].shape
+    n = pts_prev.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
 
-    # Edge-pad every level by HALF+1 so any in-image point carries a fully
-    # contained 22x22 window: the kernel clamps the window ORIGIN, which
-    # decenters border patches and corrupts the coarse flow (amplified 2^L
-    # at the base) — padding reproduces the XLA tracker's per-sample
-    # border-replicate semantics at window granularity.
-    B = HALF + 1
-    pad = lambda a: jnp.pad(a, B, mode="edge")  # noqa: E731
-    pyr_p = [pad(p) for p in pyr_prev]
-    pyr_n = [pad(p) for p in pyr_next]
-    grads = []
-    for p in pyr_prev:
-        gx, gy = _grad(p)
-        grads.append((pad(gx), pad(gy)))
+    pad_img = lambda a: jnp.pad(a.astype(f32), PADB, mode="edge")  # noqa: E731
+    pad_kp = lambda a: jnp.pad(a, ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1))  # noqa: E731
 
-    used = [L for L in range(levels) if min(pyr_prev[L].shape) >= 1.5 * PAD]
-    top = max(used)
-
-    scale_top = 2.0**top
-    pts = pts_prev.astype(jnp.float32)
-    cur = pts / scale_top + (pts_pred.astype(jnp.float32) - pts) / scale_top
+    pts = pad_kp(pts_prev.astype(f32))
+    valid_p = pad_kp(valid)
+    scale_top = 2.0 ** (levels - 1)
+    guess = pts / scale_top + (pad_kp(pts_pred.astype(f32)) - pts) / scale_top
 
     min_eig = None
-    for L in reversed(used):
+    for L in reversed(range(levels)):
         s = 2.0**L
         pl_pts = pts / s
         out = lk_level_pallas(
-            pyr_p[L], grads[L][0], grads[L][1], pyr_n[L],
-            pl_pts + B, cur + B, valid, iters=iters, interpret=interpret,
+            pad_img(pyr_prev[L]), pad_img(pyr_next[L]),
+            pl_pts + PADB, guess + PADB, valid_p,
+            iters=iters, eps=eps, interpret=interpret,
         )
-        tracked = out[:, :2] - B
+        tracked = out[:, :2] - PADB
         min_eig = out[:, 2]
-        if L > 0:
-            cur = tracked * 2.0
-        else:
-            cur = tracked
-    pts_next = cur
+        guess = tracked * 2.0 if L > 0 else tracked
+
+    pts_next = guess[:n]
+    min_eig = min_eig[:n]
     disp = jnp.linalg.norm(pts_next - pts_prev, axis=-1)
     inb = (
         (pts_next[:, 0] >= HALF) & (pts_next[:, 0] < W - HALF)
@@ -209,3 +240,22 @@ def lk_reverse_check_pallas(pyr_prev, pyr_next, pts_prev, pts_next, status,
     )
     err = jnp.linalg.norm(back - pts_prev, axis=-1)
     return status & st_b & (err <= max_err)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "max_err", "interpret"))
+def lk_track_fwd_rev_pallas(
+    pyr_prev, pyr_next, pts_prev, pts_pred, valid,
+    iters: int = 30, max_err: float = 0.5, interpret: bool | None = False,
+):
+    """Forward track + reverse-flow check fused into ONE device program
+    (mirror of klt.lk_track_fwd_rev)."""
+    tracked, status = lk_track_pyramid_pallas(
+        pyr_prev, pyr_next, pts_prev, pts_pred, valid,
+        iters=iters, interpret=interpret,
+    )
+    back, st_b = lk_track_pyramid_pallas(
+        pyr_next, pyr_prev, tracked, pts_prev, status,
+        iters=iters, interpret=interpret,
+    )
+    err = jnp.linalg.norm(back - pts_prev, axis=-1)
+    return tracked, status & st_b & (err <= max_err)

@@ -33,6 +33,10 @@ class StageTimer:
                 stage, collections.deque(maxlen=self.window)
             ).append(dt)
 
+    def reset(self):
+        """Drop all recorded samples (bench phase boundaries)."""
+        self.samples.clear()
+
     def stats(self) -> Dict[str, dict]:
         out = {}
         for k, dq in self.samples.items():

@@ -77,6 +77,13 @@ def main():
         st = klt.lk_reverse_check(pyr1, pyr2, jpts, tr, st)
         return tr.block_until_ready(), st.block_until_ready()
 
+    def run_gather():
+        tr, st = klt.lk_track_pyramid_gather(pyr1, pyr2, jpts, jpts, valid)
+        back, st_b = klt.lk_track_pyramid_gather(pyr2, pyr1, tr, jpts, st)
+        err = jnp.linalg.norm(back - jpts, axis=-1)
+        st = st & st_b & (err <= 0.5)
+        return tr.block_until_ready(), st.block_until_ready()
+
     def run_pallas():
         tr, st = klt_pallas.lk_track_pyramid_pallas(
             pyr1, pyr2, jpts, jpts, valid, interpret=interpret or None
@@ -126,10 +133,12 @@ def main():
 
     ms_x = timeit(run_xla)
     ms_p = timeit(run_pallas)
+    ms_g = timeit(run_gather) if "--no-gather" not in sys.argv else float("nan")
 
     print("| tracker | fwd+rev ms (EuRoC frame, 256 kp) | median GT err px |")
     print("|---|---|---|")
-    print(f"| XLA (ops/image/klt) | {ms_x:.2f} | {np.median(err_x):.3f} |")
+    print(f"| XLA windowed (ops/image/klt) | {ms_x:.2f} | {np.median(err_x):.3f} |")
+    print(f"| XLA gather (legacy) | {ms_g:.2f} | - |")
     print(f"| Pallas (ops/image/klt_pallas) | {ms_p:.2f} | {np.median(err_p):.3f} |")
     print(f"validated={'OK' if ok else 'FAIL'} backend={jax.default_backend()}")
     sys.exit(0 if ok else 1)

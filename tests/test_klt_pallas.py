@@ -12,20 +12,19 @@ from tests.test_image_kernels import _render
 def test_pallas_level_matches_xla(rng):
     img1, blobs = _render(rng, n_blobs=80)
     img2, _ = _render(rng, n_blobs=80, shift=(2.1, -1.4))
-    i1 = jnp.asarray(img1, jnp.float32)
-    i2 = jnp.asarray(img2, jnp.float32)
-    gx, gy = klt._grad(i1)
+    pad = lambda a: jnp.pad(  # noqa: E731
+        jnp.asarray(a, jnp.float32), klt_pallas.PADB, mode="edge")
     pts = blobs[(blobs[:, 0] > 30) & (blobs[:, 0] < 290)]
     pts = pts[(pts[:, 1] > 30) & (pts[:, 1] < 210)][:24]
     n = len(pts)
+    ppts = jnp.asarray(pts, jnp.float32) + klt_pallas.PADB
     out = klt_pallas.lk_level_pallas(
-        i1, gx, gy, i2, jnp.asarray(pts, jnp.float32),
-        jnp.asarray(pts, jnp.float32), jnp.ones(n, bool),
-        iters=30, interpret=True,
+        pad(img1), pad(img2), ppts, ppts,
+        jnp.ones(n, bool), iters=30, interpret=True,
     )
     out = np.asarray(out)
     # recovers the planted shift
-    err = out[:, :2] - (pts + [2.1, -1.4])
+    err = (out[:, :2] - klt_pallas.PADB) - (pts + [2.1, -1.4])
     ok = out[:, 3] > 0
     assert ok.mean() > 0.8
     assert np.median(np.abs(err[ok]).max(axis=-1)) < 0.3
