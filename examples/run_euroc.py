@@ -24,11 +24,12 @@ import numpy as np
 
 
 def main():
-    if len(sys.argv) < 4:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) < 3:
         print(__doc__)
         return 2
-    mav0, sensor_yaml, setting_yaml = sys.argv[1:4]
-    max_frames = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    mav0, sensor_yaml, setting_yaml = args[:3]
+    max_frames = int(args[3]) if len(args) > 3 else None
 
     from rd_vio_tpu.config import load_config
     from rd_vio_tpu.datasets import euroc
@@ -40,7 +41,26 @@ def main():
     cfg = load_config(sensor_yaml, setting_yaml)
     und = euroc.make_undistorter(cfg)
     backend = JaxImageBackend(cfg)
-    odo = Odometry(cfg, backend)
+    odo = Odometry(cfg, backend, threaded="--sync" not in sys.argv)
+
+    # overlap steady-state solver/image compiles with the initializer phase
+    if "--no-warmup" not in sys.argv:
+        from rd_vio_tpu.utils.warmup import (
+            start_warmup_thread, warmup_image_programs,
+        )
+        import threading
+
+        start_warmup_thread(cfg, odo.caps)
+        W_img, H_img = cfg.camera_resolution
+        threading.Thread(
+            target=warmup_image_programs,
+            args=(backend, W_img, H_img,
+                  cfg.feature_tracker_max_keypoint_detection,
+                  cfg.feature_tracker_min_keypoint_distance),
+            kwargs=dict(device_loop=cfg.feature_tracker_device_loop,
+                        num_hypotheses=cfg.ransac_hypotheses),
+            daemon=True,
+        ).start()
 
     est_t, est_p = [], []
     n = 0
@@ -80,7 +100,9 @@ def main():
         gt = dsv.ground_truth
         n = max_frames or len(dsv.frames["t"])
 
+    odo.join()
     wall = time.perf_counter() - t0
+    odo.close()
     print(f"frames {n}, tracked {len(est_p)}, wall {wall:.1f}s ({n/wall:.2f} fps)")
     if gt is not None and len(est_p) > 10:
         est_t = np.asarray(est_t)

@@ -169,6 +169,12 @@ class Config:
     # (ops/image/klt_pallas; falls back to interpret mode off-TPU).
     # A/B: scripts/bench_klt.py; equivalence: tests/test_klt_pallas.py
     klt_backend: str = "xla"
+    # device-resident frontend loop (ops/frontend_loop): keypoint state stays
+    # on the TPU frame-to-frame; the host consumes results one frame stale,
+    # hiding the per-frame device round trip. Only active for image backends
+    # with device pyramids (JaxImageBackend); False restores the per-frame
+    # dispatch+fetch path
+    feature_tracker_device_loop: bool = True
     # initializer essential hypotheses: False = batched 8-point (device,
     # ops/epipolar), True = Nistér 5-point host solve (ops/essential5; the
     # reference's essential.cpp:9-218 path). A/B: scripts/ab_essential.py —

@@ -102,6 +102,18 @@ class FeatureTracker:
         self._frame_counter = 0
         self.latest_state = None  # (t, q, p, v, bg, ba)
         self._pending_detect = None  # new-keypoint pixels from the fused step
+        # device-resident frontend loop (ops/frontend_loop): active when the
+        # backend exposes pyramids and the config opts in — the keypoint
+        # state machine stays on the TPU and the host consumes results one
+        # frame stale, hiding the per-frame device round trip entirely
+        self.device_loop = bool(
+            getattr(config, "feature_tracker_device_loop", True)
+            and getattr(backend, "supports_device_loop", False)
+        )
+        self._dl_state = None  # FTLoopState (device)
+        self._dl_pending = None  # (fetch_handles, frame, last)
+        self._dl_slot_kp = np.full(self.KP_CAP, -1, np.int32)
+        self._dl_drop = np.zeros(self.KP_CAP, bool)
 
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
@@ -130,6 +142,8 @@ class FeatureTracker:
 
     # -- main per-frame entry (reference feature_tracker.cpp:26-111) ---
     def track_frame(self, frame: Frame):
+        if self.device_loop:
+            return self._track_frame_device_loop(frame)
         self._frame_counter += 1
 
         # re-anchor poses from the frontend's latest optimized state
@@ -155,6 +169,122 @@ class FeatureTracker:
             self._trim_map()
         if self.frontend is not None:
             self.frontend.issue_frame(frame)
+
+    # -- device-resident frontend loop (ops/frontend_loop) -------------
+    def _track_frame_device_loop(self, frame: Frame):
+        """Pipelined per-frame entry: finalize the PREVIOUS pair's fetched
+        results (its program has had a full frame interval to finish),
+        dispatch this pair's program (device-to-device state dependency, no
+        host round trip), and only then issue the finalized frame downstream.
+        Steady-state stage-1 cost = host bookkeeping only."""
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
+
+        self._frame_counter += 1
+        with self.map.lock:
+            self._repropagate_from_optimized()
+            last = (self.map.get_frame(self.map.frame_num - 1)
+                    if self.map.frame_num else None)
+
+        done = None
+        if self._dl_pending is not None:
+            with T.time("ft.finalize"):
+                done = self._dl_finalize()
+
+        if last is not None:
+            with T.time("ft.dispatch"):
+                self._dl_dispatch(last, frame)
+            with self.map.lock:
+                builders.predict_frame(last, frame, self.calib, self.caps.IMU)
+            self.latest_state = (frame.t, frame.q.copy(), frame.p.copy(),
+                                 frame.v.copy(), frame.bg.copy(),
+                                 frame.ba.copy())
+
+        with self.map.lock:
+            self.map.attach_frame(frame)
+            self._trim_map()
+        if done is not None and self.frontend is not None:
+            self.frontend.issue_frame(done)
+
+    def _dl_dispatch(self, last: Frame, frame: Frame):
+        from rd_vio_tpu.ops import frontend_loop as fl
+
+        cfg = self.config
+        if self._dl_state is None:
+            self._dl_state = fl.init_state(self.KP_CAP)
+
+        R_pred = np.eye(3)
+        delta_q = self._interval_rotation(frame)
+        if cfg.feature_tracker_predict_keypoints and delta_q is not None:
+            q_bc = self.calib.q_bc_h
+            q_bi = self.calib.q_bi_h
+            dkq = qconj(qmul(qmul(qmul(qmul(qconj(q_bc), q_bi), delta_q),
+                                  qconj(q_bi)), q_bc))
+            R_pred = q_to_R(dkq)
+
+        detect_due = (
+            self._frame_counter
+            % max(cfg.sliding_window_tracker_frequent, 1)
+        ) == 0
+        use_pallas = getattr(self.backend, "klt_backend", "xla") == "pallas"
+        state, fetch = fl.ft_loop_step(
+            self._dl_state, last.image.pyramid, frame.image.pyramid,
+            jnp.asarray(R_pred, jnp.float32), self._next_key(),
+            jnp.asarray(self._dl_drop),
+            jnp.asarray(self.calib.K, jnp.float32),
+            np.float32(np.radians(cfg.rotation_ransac_threshold)),
+            detect=detect_due,
+            max_points=int(cfg.feature_tracker_max_keypoint_detection),
+            min_dist=float(cfg.feature_tracker_min_keypoint_distance),
+            num_hypotheses=int(cfg.ransac_hypotheses),
+            use_pallas=use_pallas,
+            interpret=None if use_pallas else False,
+        )
+        self._dl_state = state
+        self._dl_pending = (fetch, frame, last)
+
+    def _dl_finalize(self) -> Optional[Frame]:
+        """Fetch + host bookkeeping for the in-flight pair: append keypoints
+        to the pair's new frame, extend track links, set the pure-rotation
+        tag, and compute the retired-slot mask for the next dispatch."""
+        fetch, frame, last = self._dl_pending
+        self._dl_pending = None
+        out = jax.device_get(fetch)
+        cfg = self.config
+
+        if float(out["misalign"]) < cfg.rotation_misalignment_threshold:
+            frame.set_tag(FT_NO_TRANSLATION, True)
+
+        valid = np.asarray(out["valid"])
+        cont = np.asarray(out["cont"])
+        pix = np.asarray(out["pix"])
+        idxs = np.flatnonzero(valid)
+        slot_kp_new = np.full(self.KP_CAP, -1, np.int32)
+        drop = np.zeros(self.KP_CAP, bool)
+        with self.map.lock:
+            if len(idxs):
+                bearings = self._bearing_from_pix(pix[idxs])
+                k0 = frame.append_keypoints(bearings)
+                slot_kp_new[idxs] = k0 + np.arange(len(idxs), dtype=np.int32)
+            for s in np.flatnonzero(cont):
+                k_old = int(self._dl_slot_kp[s])
+                if k_old < 0:
+                    continue
+                t = self.map.get_track(last, k_old, create=True)
+                self.map.add_keypoint(t, frame, int(slot_kp_new[s]))
+                if t.tag(TT_TRASH):
+                    drop[s] = True
+        self._dl_slot_kp = slot_kp_new
+        self._dl_drop = drop
+        return frame
+
+    def flush(self):
+        """Finalize + issue the in-flight device-loop pair (sequence end or
+        pipeline drain). No-op outside device-loop mode."""
+        if not self.device_loop or self._dl_pending is None:
+            return
+        done = self._dl_finalize()
+        if done is not None and self.frontend is not None:
+            self.frontend.issue_frame(done)
 
     def refresh_from_optimized(self):
         """Called by the frontend right after it publishes a new optimized

@@ -27,6 +27,25 @@ from rd_vio_tpu.ops.image import klt as klt_mod
 from rd_vio_tpu.ops.image import pyramid as pyr_mod
 
 
+@functools.partial(jax.jit, static_argnames=("tx", "ty", "clip", "levels",
+                                             "clahe_on"))
+def _preprocess_fused(img, tx: int, ty: int, clip: float, levels: int,
+                      clahe_on: bool):
+    """One program per frame: u8->f32 cast + CLAHE (tile-padded) + pyramid.
+    Accepting the camera-native uint8 keeps the per-frame host->device
+    transfer at 1 byte/px (4x less tunnel bandwidth than f32)."""
+    x = img.astype(jnp.float32)
+    if clahe_on:
+        H, W = x.shape
+        Hp = -(-H // ty) * ty
+        Wp = -(-W // tx) * tx
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, Hp - H), (0, Wp - W)), mode="edge")
+        x = clahe_mod.clahe(x, tx, ty, clip)
+        x = x[:H, :W]
+    return tuple(pyr_mod.build_pyramid(x, levels))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "max_points", "min_dist", "use_pallas", "interpret"))
 def _track_detect_fused(pyr_prev, pyr_next, p, g, v,
@@ -70,6 +89,10 @@ class ProcessedImage:
 class JaxImageBackend:
     """ImageBackend over real pixel arrays."""
 
+    # pyramids are device-resident => the device-resident frontend loop
+    # (ops/frontend_loop) can chain frame pairs without host fetches
+    supports_device_loop = True
+
     def __init__(self, config, levels: int = 3, kp_cap: int = 512,
                  clahe_enabled: bool = True):
         self.config = config
@@ -84,21 +107,18 @@ class JaxImageBackend:
 
     # -- preprocessing --------------------------------------------------
     def preprocess(self, img: np.ndarray) -> ProcessedImage:
-        """img: (H, W) grayscale in [0, 255]."""
+        """img: (H, W) grayscale in [0, 255]; uint8 uploads byte-exact (4x
+        less transfer than f32), other dtypes are cast host-side."""
         cfg = self.config
-        x = jnp.asarray(img, jnp.float32)
-        if self.clahe_enabled:
-            H, W = x.shape
-            tx = cfg.feature_tracker_clahe_width
-            ty = cfg.feature_tracker_clahe_height
-            # pad to tile-divisible size, CLAHE, crop back
-            Hp = ((H + ty - 1) // ty) * ty
-            Wp = ((W + tx - 1) // tx) * tx
-            if (Hp, Wp) != (H, W):
-                x = jnp.pad(x, ((0, Hp - H), (0, Wp - W)), mode="edge")
-            x = clahe_mod.clahe(x, tx, ty, cfg.feature_tracker_clahe_clip_limit)
-            x = x[:H, :W]
-        pyr = pyr_mod.build_pyramid(x, self.levels)
+        if img.dtype != np.uint8:
+            img = np.asarray(img, np.float32)
+        pyr = _preprocess_fused(
+            jnp.asarray(img),
+            tx=int(cfg.feature_tracker_clahe_width),
+            ty=int(cfg.feature_tracker_clahe_height),
+            clip=float(cfg.feature_tracker_clahe_clip_limit),
+            levels=self.levels, clahe_on=self.clahe_enabled,
+        )
         return ProcessedImage(pyr, img.shape)
 
     # -- ImageBackend protocol ------------------------------------------

@@ -47,9 +47,19 @@ class Odometry:
         """Block until all ingested frames are fully processed (no-op in
         synchronous mode)."""
         self.handler.join()
+        if self.feature_tracker.device_loop:
+            # finalize + issue the in-flight device-loop pair, then drain the
+            # optimizer stage again for that last frame
+            self.feature_tracker.flush()
+            self.handler.join()
         self._drain_swt()
 
     def close(self):
+        if self.feature_tracker.device_loop:
+            try:
+                self.join()
+            except RuntimeError:
+                pass  # re-raised by handler.close below
         self.handler.close()
         self._drain_swt()
 

@@ -30,20 +30,10 @@ import jax.numpy as jnp
 from rd_vio_tpu.ops import ransac
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def ft_step(
-    # matches (KP_CAP padded): bearings in prev/next frame + validity
-    b1, b2, valid,
-    key,
-    rot_thresh,  # radians, rotation-RANSAC inlier bound input
-    num_hypotheses: int,
-):
-    """Returns dict with the essential-RANSAC status mask and the rotation
-    misalignment percentile. The track-length-priority Poisson re-filter
-    (reference frame.cpp:134-161) runs on HOST after the fetch
-    (ops/poisson_disk.poisson_disk_filter_np): it is a short sequential grid
-    loop, and the single TPU serializes all programs, so keeping it in this
-    program would cost ~5-8 ms of device scan time per frame."""
+def ft_masks(b1, b2, valid, key, rot_thresh, num_hypotheses: int):
+    """Trace-level body shared by `ft_step` (standalone program) and the
+    device-resident frontend loop (ops/frontend_loop.py): essential-RANSAC
+    match mask + rotation-RANSAC misalignment percentile."""
     f32 = jnp.float32
     b1 = b1.astype(f32)
     b2 = b2.astype(f32)
@@ -73,3 +63,20 @@ def ft_step(
         "mask": status,
         "misalign": misalign,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def ft_step(
+    # matches (KP_CAP padded): bearings in prev/next frame + validity
+    b1, b2, valid,
+    key,
+    rot_thresh,  # radians, rotation-RANSAC inlier bound input
+    num_hypotheses: int,
+):
+    """Returns dict with the essential-RANSAC status mask and the rotation
+    misalignment percentile. The track-length-priority Poisson re-filter
+    (reference frame.cpp:134-161) runs on HOST after the fetch
+    (ops/poisson_disk.poisson_disk_filter_np): it is a short sequential grid
+    loop, and the single TPU serializes all programs, so keeping it in this
+    program would cost ~5-8 ms of device scan time per frame."""
+    return ft_masks(b1, b2, valid, key, rot_thresh, num_hypotheses)

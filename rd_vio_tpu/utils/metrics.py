@@ -11,19 +11,39 @@ from __future__ import annotations
 import collections
 import contextlib
 import json
+import threading
 import time
 from typing import Dict, Optional
 
 
 class StageTimer:
-    """Per-stage wall-clock ring buffers (reference unique_timer.h analogue)."""
+    """Per-stage wall-clock ring buffers (reference unique_timer.h analogue).
+
+    `suppressed()` disables recording for the current thread: warmup shadow
+    pipelines (utils/warmup.py) share the jitted-program caches with the real
+    pipeline but must not pollute its stage statistics."""
+
+    _tls = threading.local()
 
     def __init__(self, window: int = 256):
         self.window = window
         self.samples: Dict[str, collections.deque] = {}
 
+    @classmethod
+    @contextlib.contextmanager
+    def suppressed(cls):
+        prev = getattr(cls._tls, "off", False)
+        cls._tls.off = True
+        try:
+            yield
+        finally:
+            cls._tls.off = prev
+
     @contextlib.contextmanager
     def time(self, stage: str):
+        if getattr(self._tls, "off", False):
+            yield
+            return
         t0 = time.perf_counter()
         try:
             yield

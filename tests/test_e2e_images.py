@@ -14,8 +14,9 @@ from rd_vio_tpu.models.odometry import Odometry
 from rd_vio_tpu.utils.trajectory import ate_rmse
 
 
-@pytest.fixture(scope="module")
-def image_run():
+@pytest.fixture(scope="module", params=[True, False],
+                ids=["device_loop", "host_loop"])
+def image_run(request):
     # excitation=0.05: visual-inertial scale needs acceleration to be
     # observable (the base trajectory is near-constant-velocity; with pixel
     # noise the init's scale LS collapses toward the min-norm solution).
@@ -31,6 +32,9 @@ def image_run():
     cfg.feature_tracker_min_keypoint_distance = 12.0
     cfg.feature_tracker_max_keypoint_detection = 120
     cfg.ransac_hypotheses = 128
+    # True: device-resident frontend loop (ops/frontend_loop, one-frame-stale
+    # host bookkeeping); False: legacy per-frame dispatch+fetch path
+    cfg.feature_tracker_device_loop = request.param
     caps = builders.Caps(W=13, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
     backend = JaxImageBackend(cfg, kp_cap=256)
     odo = Odometry(cfg, backend, caps=caps)
