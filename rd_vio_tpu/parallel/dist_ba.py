@@ -154,6 +154,21 @@ def shard_problem(mesh: Mesh, invd, pb: ba.BAProblem):
     return jax.device_put(invd, shard_O), pb
 
 
+def _novis_problem(pb_local):
+    """Replicated-rows-only view of the problem: the reprojection arrays are
+    collapsed to a 2-row masked dummy. Passing the full local arrays with
+    valid=False would still LINEARIZE every vision row a second time per
+    iteration — measured as ~half the per-device FLOPs (efficiency 52% at
+    every size instead of >85%)."""
+    rf = pb_local.reproj
+    dummy = type(rf)(
+        tgt=rf.tgt[:2], ref=rf.ref[:2], lm=rf.lm[:2] * 0,
+        z_ref=rf.z_ref[:2], z_tgt=rf.z_tgt[:2],
+        valid=jnp.zeros((2,), bool),
+    )
+    return pb_local._replace(reproj=dummy)
+
+
 def _local_vision_system(states, invd_local, pb_local, L_local):
     """Shard-local vision rows -> (Hv, gv, Hll, Hcl, bl, cost_v). Runs inside
     shard_map; landmark indices in pb_local.reproj.lm are shard-local."""
@@ -241,11 +256,9 @@ def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
             c_v = jax.lax.psum(
                 jnp.sum(jnp.where(rf.valid, jnp.log1p(s_v), 0.0)), LM_AXIS
             )
-            # replicated parts: reuse single-device cost with vision masked out
-            pb_novis = pb_local._replace(
-                reproj=rf._replace(valid=jnp.zeros_like(rf.valid))
-            )
-            c_rest = ba.compute_cost(s, idl, pb_novis) * 2.0  # 0.5 factor undone below
+            # replicated parts: reuse single-device cost on the collapsed
+            # no-vision problem (2 dummy reproj rows, not O/n masked rows)
+            c_rest = ba.compute_cost(s, idl, _novis_problem(pb_local)) * 2.0  # 0.5 undone below
             return 0.5 * c_v + 0.5 * c_rest
 
         def cond(carry):
@@ -256,13 +269,12 @@ def solve_ba_sharded(states: FrameStates, invd, pb: ba.BAProblem, mesh: Mesh,
             s, idl, lam, cost, n_acc, it, done = carry
             # shard-local vision normal equations
             Hv, gv, Hll, Hcl, bl, _ = _local_vision_system(s, idl, pb_local, L_local)
-            # replicated rows (imu + rot + prior): compute with vision zeroed
-            pb_novis = pb_local._replace(
-                reproj=pb_local.reproj._replace(
-                    valid=jnp.zeros_like(pb_local.reproj.valid)
-                )
+            # replicated rows (imu + rot + prior): collapsed no-vision problem
+            # — a masked full-size problem would re-linearize all O/n vision
+            # rows here, doubling per-device work
+            H_r, g_r, _, _, _, _ = ba.build_normal_system(
+                s, idl, _novis_problem(pb_local)
             )
-            H_r, g_r, _, _, _, _ = ba.build_normal_system(s, idl, pb_novis)
             # masked columns on the vision part too
             Hv = Hv * (cmask[:, None] * cmask[None, :])
             gv = gv * cmask
