@@ -240,7 +240,11 @@ class FeatureTracker:
             interpret=None if use_pallas else False,
         )
         self._dl_state = state
-        self._dl_pending = (fetch, frame, last)
+        # start the device->host copy NOW: by the time the next frame arrives
+        # (finalize), the ~25 ms tunnel round trip has already happened
+        from rd_vio_tpu.utils.host import fetch_async
+
+        self._dl_pending = (fetch_async(fetch), frame, last)
 
     def _dl_finalize(self) -> Optional[Frame]:
         """Fetch + host bookkeeping for the in-flight pair: append keypoints
@@ -248,7 +252,7 @@ class FeatureTracker:
         tag, and compute the retired-slot mask for the next dispatch."""
         fetch, frame, last = self._dl_pending
         self._dl_pending = None
-        out = jax.device_get(fetch)
+        out = fetch.wait()
         cfg = self.config
 
         if float(out["misalign"]) < cfg.rotation_misalignment_threshold:

@@ -107,11 +107,15 @@ class Frontend:
                 self._publish(fid)
                 self.initializer = None
         elif self.swt is not None:
+            from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
+
             # apply the previous frame's deferred subwindow result BEFORE
             # mirroring/predicting the new frame from those states
-            self.swt.drain_pending()
-            with ft_map.lock:
-                ok = self.swt.mirror_frame(ft_map, fid)
+            with T.time("swt.drain_pending"):
+                self.swt.drain_pending()
+            with T.time("swt.mirror"):
+                with ft_map.lock:
+                    ok = self.swt.mirror_frame(ft_map, fid)
             if not ok:
                 return
             if self.swt.track():

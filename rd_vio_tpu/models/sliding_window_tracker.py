@@ -136,8 +136,13 @@ class SlidingWindowTracker:
     # ------------------------------------------------------------------
     def track(self) -> bool:
         if self.config.parsac_flag:
-            if self.judge_track_status():
-                self.update_track_status()
+            from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+
+            with _T.time("swt.judge"):
+                judged = self.judge_track_status()
+            if judged:
+                with _T.time("swt.update_status"):
+                    self.update_track_status()
 
         # the keyframe decision reads only tags and track counts — never the
         # localized pose — so it can run BEFORE the localization solve. For

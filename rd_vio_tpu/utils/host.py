@@ -34,8 +34,11 @@ _FETCH_POOL: Optional[concurrent.futures.ThreadPoolExecutor] = None
 def _fetch_pool() -> concurrent.futures.ThreadPoolExecutor:
     global _FETCH_POOL
     if _FETCH_POOL is None:
+        # 2 workers: the feature-tracker stage and the optimizer stage each
+        # keep one async fetch in flight; a single worker would serialize
+        # them (~25 ms tunnel round trip each)
         _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="rdvio-fetch"
+            max_workers=2, thread_name_prefix="rdvio-fetch"
         )
     return _FETCH_POOL
 
