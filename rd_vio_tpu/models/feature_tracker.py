@@ -99,6 +99,7 @@ class FeatureTracker:
         self.map = Map()
         self.frontend = None  # set by Odometry wiring
         self._rng_key = jax.random.PRNGKey(config.random + 1)
+        self._host_seed_ctr = 0
         self._frame_counter = 0
         self.latest_state = None  # (t, q, p, v, bg, ba)
         self._pending_detect = None  # new-keypoint pixels from the fused step
@@ -118,6 +119,12 @@ class FeatureTracker:
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
         return k
+
+    def _next_seed(self) -> tuple:
+        """Host-side seed material for the NumPy mask path — deriving it from
+        a JAX key would force a ~25 ms device sync per frame."""
+        self._host_seed_ctr += 1
+        return (self.config.random + 1, self._host_seed_ctr)
 
     # -- helpers -------------------------------------------------------
     def _pix_from_bearings(self, frame: Frame) -> np.ndarray:
@@ -419,7 +426,7 @@ class FeatureTracker:
             builders.predict_frame(last, frame, self.calib, self.caps.IMU)
 
         if pending is None:
-            out = ft_step_np(b1, b2, val, self._next_key(), rot_thr,
+            out = ft_step_np(b1, b2, val, self._next_seed(), rot_thr,
                              num_hypotheses=cfg.ransac_hypotheses)
         else:
             out = fetch(pending)

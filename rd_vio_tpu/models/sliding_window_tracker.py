@@ -77,10 +77,17 @@ class SlidingWindowTracker:
         self.bin_conf_imu = parsac.default_bin_confidences()
         self.bin_conf_2d2d = parsac.default_bin_confidences()
         self._rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(config.random)
+        self._host_seed_ctr = 0
 
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
         return k
+
+    def _next_seed(self) -> tuple:
+        """Host-side seed material for the NumPy mask twins — deriving it
+        from a JAX key forces a ~25 ms device sync per call (round 3)."""
+        self._host_seed_ctr += 1
+        return (self.config.random, self._host_seed_ctr)
 
     # ------------------------------------------------------------------
     def mirror_frame(self, ft_map: Map, frame_id: int):
@@ -568,21 +575,25 @@ class SlidingWindowTracker:
             frames, frames_by_id, require_valid=False, pending_ids=pending_ids
         )
 
-        res, res_loc, lm_w, valid_dev, ok_dev, tri_dev, new_prior = (
-            builders.solve_keyframe_fused(
-                spec_loc, pending, spec_w, tracks_v, spec_m, frames_by_id,
-                self.calib, self.caps, caps_loc=self.caps_fast,
-                dtype=self._window_dtype, loc_dtype=self._fast_dtype,
-                max_iterations=self.config.solver_iteration_limit,
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
+
+        with T.time("swt.kf.dispatch"):
+            res, res_loc, lm_w, valid_dev, ok_dev, tri_dev, new_prior = (
+                builders.solve_keyframe_fused(
+                    spec_loc, pending, spec_w, tracks_v, spec_m, frames_by_id,
+                    self.calib, self.caps, caps_loc=self.caps_fast,
+                    dtype=self._window_dtype, loc_dtype=self._fast_dtype,
+                    max_iterations=self.config.solver_iteration_limit,
+                )
             )
-        )
         s = res.states
         sl = res_loc.states
-        (q, p, v, bg, ba_, invd_h, lq, lp, lv, lbg, lba,
-         valid_h, ok_h, tri_h) = fetch(
-            (s.q, s.p, s.v, s.bg, s.ba, res.inv_depth,
-             sl.q, sl.p, sl.v, sl.bg, sl.ba, valid_dev, ok_dev, tri_dev)
-        )
+        with T.time("swt.kf.fetch"):
+            (q, p, v, bg, ba_, invd_h, lq, lp, lv, lbg, lba,
+             valid_h, ok_h, tri_h) = fetch(
+                (s.q, s.p, s.v, s.bg, s.ba, res.inv_depth,
+                 sl.q, sl.p, sl.v, sl.bg, sl.ba, valid_dev, ok_dev, tri_dev)
+            )
         # localize result (frame_j may be a subframe outside the window)
         frame_j.q, frame_j.p, frame_j.v = lq[0], lp[0], lv[0]
         frame_j.bg, frame_j.ba = lbg[0], lba[0]
@@ -1004,7 +1015,7 @@ class SlidingWindowTracker:
             from rd_vio_tpu.ops import parsac_np
 
             res = parsac_np.imu_parsac_pnp_np(
-                self._next_key(), P3D, P2D, valid, lens,
+                self._next_seed(), P3D, P2D, valid, lens,
                 asnp(Rcw), asnp(tcw), asnp(self.bin_conf_imu),
                 threshold=cfg.parsac_threshold / Km[0, 0],
                 dynamic_prob=cfg.parsac_dynamic_probability,
@@ -1144,7 +1155,7 @@ class SlidingWindowTracker:
                 from rd_vio_tpu.ops import parsac_np
 
                 masks, conf = parsac_np.parsac_essential_chain_np(
-                    self._next_key(), P1, P2, VAL, EN,
+                    self._next_seed(), P1, P2, VAL, EN,
                     asnp(self.bin_conf_2d2d), self.m_th / Km[0, 0],
                     norm_scale=cfg.parsac_norm_scale,
                     num_hypotheses=cfg.ransac_hypotheses,

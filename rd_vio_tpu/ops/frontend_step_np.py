@@ -27,7 +27,15 @@ CHI2_2DOF = 5.99  # reference stereo.cpp:85,113 (t2)
 
 
 def _rng_from_key(key) -> np.random.Generator:
-    """Deterministic NumPy generator derived from a JAX PRNG key."""
+    """Deterministic NumPy generator from host seed material (int or tuple
+    of ints), or from a JAX PRNG key.
+
+    Callers on the host-mask path should pass ints/tuples: converting a JAX
+    key forces a device synchronization (np.asarray == device_get), which on
+    a tunneled TPU costs a ~25 ms round trip PER CALL — measured as the bulk
+    of the per-frame host-mask cost in round 3."""
+    if isinstance(key, (int, tuple)):
+        return np.random.default_rng(key)
     data = np.asarray(key).ravel().astype(np.uint64)
     seed = int(data[0]) << 32 | int(data[-1])
     return np.random.default_rng(seed)

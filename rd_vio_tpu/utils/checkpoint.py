@@ -75,6 +75,7 @@ def save_tracker(path: str, swt) -> None:
     out["bin_conf_imu"] = np.asarray(fetch(swt.bin_conf_imu))
     out["bin_conf_2d2d"] = np.asarray(fetch(swt.bin_conf_2d2d))
     out["rng_key"] = np.asarray(fetch(swt._rng_key))
+    out["host_seed_ctr"] = np.int64(swt._host_seed_ctr)
 
     with open(path, "wb") as fh:
         np.savez_compressed(fh, **out)
@@ -112,4 +113,5 @@ def load_tracker(path: str, config, calib, caps):
     swt.bin_conf_imu = jnp.asarray(d["bin_conf_imu"])
     swt.bin_conf_2d2d = jnp.asarray(d["bin_conf_2d2d"])
     swt._rng_key = jnp.asarray(d["rng_key"])
+    swt._host_seed_ctr = int(d.get("host_seed_ctr", 0))
     return swt
