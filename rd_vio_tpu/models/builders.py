@@ -869,15 +869,14 @@ def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
-def _fused_window_tail_jit(pa_w, prior, va, pa_m, mlm_vti, mlm_from_w, calib,
-                           max_iterations):
-    """Window VI-BA solve -> on-device landmark validation -> marginalization
-    of slot 0 with validation-gated factors, all in ONE program (reference
-    keyframe tail refine_window :226-337 -> validation :304-336 ->
-    slide_window/marginalize :339-347). The solve may run at reduced
-    precision; validation + marginalization run in f64 on the cast-up result."""
-    from rd_vio_tpu.estimation import marginalization
-
+def _fused_window_tail_jit(pa_w, prior, va, calib, max_iterations):
+    """Window VI-BA solve -> on-device landmark validation (reference
+    keyframe tail refine_window :226-337 -> validation :304-336). The solve
+    may run at reduced precision; validation runs in f64 on the cast-up
+    result. The slot-0 marginalization runs as a SEPARATE program
+    (`_marginalize_tail_jit`) dispatched right after this one: its result is
+    consumed only by the NEXT keyframe solve (device-side), so the host's
+    blocking fetch never waits on the marginalization's device time."""
     s, invd, pb = _finalize_problem(pa_w, calib, prior, True)
     res = ba.solve_ba(s, invd, pb, max_iterations=max_iterations)
 
@@ -885,29 +884,46 @@ def _fused_window_tail_jit(pa_w, prior, va, pa_m, mlm_vti, mlm_from_w, calib,
     s64 = FrameStates(*(a.astype(f64) for a in res.states))
     invd64 = res.inv_depth.astype(f64)
     valid_out = _validate_tracks_device(va, s64, invd64, calib.ext)
+    return res, valid_out
 
+
+@functools.partial(jax.jit, static_argnames=())
+def _marginalize_tail_jit(s_res, invd_res, valid_out, tri_invd, tri_ok,
+                          pa_m, mlm_vti, mlm_from_w, mlm_tri, prior, calib):
+    """Slot-0 marginalization on the solved window states, as its own device
+    program (reference slide_window/marginalize :339-347). Chained
+    device-to-device after the window-solve program; the resulting prior
+    stays device-resident for the next keyframe solve — no host fetch ever
+    waits on this program."""
+    from rd_vio_tpu.estimation import marginalization
+
+    f64 = jnp.float64
+    s64 = FrameStates(*(a.astype(f64) for a in s_res))
+    invd64 = invd_res.astype(f64)
     s_m, invd_m, pb_m = _finalize_problem(pa_m, calib, prior, True)
-    sel = mlm_from_w >= 0
-    invd_m = jnp.where(sel, invd64[jnp.clip(mlm_from_w, 0)], invd_m)
+    from_w = mlm_from_w >= 0
+    invd_m = jnp.where(from_w, invd64[jnp.clip(mlm_from_w, 0)], invd_m)
+    from_t = (mlm_tri >= 0) & ~from_w
+    invd_m = jnp.where(from_t, tri_invd[jnp.clip(mlm_tri, 0)].astype(f64),
+                       invd_m)
     lm_ok = (mlm_vti >= 0) & valid_out[jnp.clip(mlm_vti, 0)] & (invd_m > 0)
     rp = pb_m.reproj
     pb_m = pb_m._replace(reproj=rp._replace(valid=rp.valid & lm_ok[rp.lm]))
-    new_prior = marginalization.marginalize_frame0(s64, invd_m, pb_m)
-    return res, valid_out, new_prior
+    return marginalization.marginalize_frame0(s64, invd_m, pb_m)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def _fused_keyframe_jit(
     pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
-    pa_w, j_w, wlm_tri, prior, va, pa_m, mlm_vti, mlm_from_w, mlm_tri,
+    pa_w, j_w, wlm_tri, prior, va,
     calib, max_iterations,
 ):
-    """The ENTIRE sliding-keyframe step as one device program (reference
-    track() keyframe branch :80-99): localization solve -> triangulation of
-    pending tracks -> window VI-BA (new-frame state and fresh inverse depths
-    chained in, factors of failed triangulations gated off) -> landmark
-    validation -> slot-0 marginalization. One dispatch, one fetch."""
-    from rd_vio_tpu.estimation import marginalization
+    """The sliding-keyframe step as one device program (reference track()
+    keyframe branch :80-99): localization solve -> triangulation of pending
+    tracks -> window VI-BA (new-frame state and fresh inverse depths chained
+    in, factors of failed triangulations gated off) -> landmark validation.
+    One dispatch, one fetch. The slot-0 marginalization runs as a separate
+    chained program (`_marginalize_tail_jit`) the host never waits on."""
     from rd_vio_tpu.ops.lie import quat_conj, quat_mul, quat_rotate
 
     f64 = jnp.float64
@@ -961,22 +977,13 @@ def _fused_keyframe_jit(
     )
     res = ba.solve_ba(s_w, invd_w, pb_w, max_iterations=max_iterations)
 
-    # --- 4. validation (tri-aware) + 5. marginalization ------------------
+    # --- 4. validation (tri-aware) ---------------------------------------
     s64 = FrameStates(*(a.astype(f64) for a in res.states))
     invd64 = res.inv_depth.astype(f64)
     valid_out = _validate_tracks_device(
         va, s64, invd64, calib.ext, tri_invd=tri_invd, tri_ok=tri_ok
     )
-    s_m, invd_m, pb_m = _finalize_problem(pa_m, calib, prior, True)
-    from_w = mlm_from_w >= 0
-    invd_m = jnp.where(from_w, invd64[jnp.clip(mlm_from_w, 0)], invd_m)
-    from_t = (mlm_tri >= 0) & ~from_w
-    invd_m = jnp.where(from_t, tri_invd[jnp.clip(mlm_tri, 0)], invd_m)
-    lm_ok = (mlm_vti >= 0) & valid_out[jnp.clip(mlm_vti, 0)] & (invd_m > 0)
-    rp = pb_m.reproj
-    pb_m = pb_m._replace(reproj=rp._replace(valid=rp.valid & lm_ok[rp.lm]))
-    new_prior = marginalization.marginalize_frame0(s64, invd_m, pb_m)
-    return res, res_loc, valid_out, tri_ok, tri_invd, new_prior
+    return res, res_loc, valid_out, tri_ok, tri_invd
 
 
 def solve_keyframe_fused(
@@ -1039,12 +1046,18 @@ def solve_keyframe_fused(
             mlm_from_w[s] = lm_w.get(tid, -1)
             mlm_tri[s] = tri_idx_of_tid.get(tid, -1)
 
-    res, res_loc, valid_out, tri_ok, tri_invd, new_prior = _fused_keyframe_jit(
+    res, res_loc, valid_out, tri_ok, tri_invd = _fused_keyframe_jit(
         pa_loc, jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw),
         jnp.asarray(m_tri), jnp.asarray(us), jnp.asarray(tri_aqc),
         jnp.asarray(tri_apc), pa_w, j_w, jnp.asarray(wlm_tri), spec_w.prior,
-        va, pa_m, jnp.asarray(mlm_vti), jnp.asarray(mlm_from_w),
-        jnp.asarray(mlm_tri), calib.tree, max_iterations=max_iterations,
+        va, calib.tree, max_iterations=max_iterations,
+    )
+    # marginalization: separate chained program; its prior output stays
+    # device-resident for the next keyframe solve — never fetched
+    new_prior = _marginalize_tail_jit(
+        res.states, res.inv_depth, valid_out, tri_invd, tri_ok,
+        pa_m, jnp.asarray(mlm_vti), jnp.asarray(mlm_from_w),
+        jnp.asarray(mlm_tri), spec_w.prior, calib.tree,
     )
     return res, res_loc, lm_w, valid_out, tri_ok, tri_invd, new_prior
 
@@ -1075,10 +1088,16 @@ def solve_window_validate_marginalize(
     for tid, s in lm_m.items():
         mlm_vti[s] = vti_of_tid.get(tid, -1)
         mlm_from_w[s] = lm_w.get(tid, -1)
-    res, valid_out, new_prior = _fused_window_tail_jit(
-        _cast_pa(pa_w, dtype), spec_w.prior, va, pa_m,
-        jnp.asarray(mlm_vti), jnp.asarray(mlm_from_w), calib.tree,
+    res, valid_out = _fused_window_tail_jit(
+        _cast_pa(pa_w, dtype), spec_w.prior, va, calib.tree,
         max_iterations=max_iterations,
+    )
+    # no-triangulation case: sentinel tri arrays, mlm_tri all -1
+    new_prior = _marginalize_tail_jit(
+        res.states, res.inv_depth, valid_out,
+        jnp.ones(1), jnp.ones(1, bool),
+        pa_m, jnp.asarray(mlm_vti), jnp.asarray(mlm_from_w),
+        jnp.full(caps.L, -1, np.int32), spec_w.prior, calib.tree,
     )
     return res, lm_w, valid_out, new_prior
 

@@ -109,10 +109,10 @@ class Frontend:
         elif self.swt is not None:
             from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
 
-            # apply the previous frame's deferred subwindow result BEFORE
-            # mirroring/predicting the new frame from those states
-            with T.time("swt.drain_pending"):
-                self.swt.drain_pending()
+            # the deferred subwindow result is drained INSIDE track(), after
+            # the judge's state-independent assembly — mirror's structural
+            # work (clone/link/prune) doesn't read the states the drain
+            # writes, and track() re-predicts the mirrored frame post-drain
             with T.time("swt.mirror"):
                 with ft_map.lock:
                     ok = self.swt.mirror_frame(ft_map, fid)

@@ -142,11 +142,31 @@ class SlidingWindowTracker:
 
     # ------------------------------------------------------------------
     def track(self) -> bool:
-        if self.config.parsac_flag:
-            from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
 
+        # assemble the judge's state-independent inputs BEFORE draining the
+        # deferred subwindow result: the drain is an async-fetch wait (~25 ms
+        # tunnel round trip when stage 2 is saturated), and the assembly
+        # (keypoint/landmark gathers) doesn't read the states it writes —
+        # the only judge inputs touched by the drain are the subframe poses,
+        # consumed after the drain in _judge_decide
+        asm = None
+        if self.config.parsac_flag:
+            with _T.time("swt.judge_asm"):
+                asm = self._judge_assemble()
+        with _T.time("swt.drain_pending"):
+            self.drain_pending()
+        # re-predict the mirrored frame from the now-drained base state
+        # (mirror_frame ran before the drain; its prediction used the
+        # pre-refine subframe pose)
+        m0 = self.map
+        kf_i = m0.get_frame(m0.frame_num - 2)
+        base = kf_i.subframes[-1] if kf_i.subframes else kf_i
+        builders.predict_frame(base, m0.get_frame(m0.frame_num - 1),
+                               self.calib, self.caps.IMU)
+        if asm is not None:
             with _T.time("swt.judge"):
-                judged = self.judge_track_status()
+                judged = self._judge_decide(asm)
             if judged:
                 with _T.time("swt.update_status"):
                     self.update_track_status()
@@ -955,14 +975,25 @@ class SlidingWindowTracker:
 
     def judge_track_status(self) -> bool:
         """IMU-PARSAC static/dynamic labeling + adaptive epipolar threshold
-        (reference :557-718)."""
+        (reference :557-718). Kept as the one-call form for host twins and
+        tests; track() uses the split assemble/decide pair so the assembly
+        overlaps the deferred-subwindow drain."""
         m = self.map
-        cfg = self.config
         curr = m.get_frame(m.frame_num - 1)
         keyframe = m.get_frame(m.frame_num - 2)
         last = keyframe.subframes[-1] if keyframe.subframes else keyframe
-
         builders.predict_frame(last, curr, self.calib, self.caps.IMU)
+        asm = self._judge_assemble()
+        return self._judge_decide(asm) if asm is not None else False
+
+    def _judge_assemble(self):
+        """State-independent judge inputs: keypoint/landmark/bearing gathers.
+        Safe before the subwindow drain — the drain writes subframe poses
+        only, consumed later in _judge_decide's pose math. Returns None when
+        too few triangulated tracks are visible."""
+        m = self.map
+        curr = m.get_frame(m.frame_num - 1)
+        keyframe = m.get_frame(m.frame_num - 2)
 
         frames_by_id = {f.id: f for f in m.all_frames()}
         Km = self.calib.K
@@ -998,10 +1029,39 @@ class SlidingWindowTracker:
             valid[n] = True
             n += 1
         if n < 20:
-            return False
+            return None
         P3D[:n] = builders.get_landmark_points_batch(
             sel_tracks, frames_by_id, self.calib
         )
+
+        # epipolar-pair gather (bearings; state-independent)
+        slots, bks, bcs = [], [], []
+        for s, k in kp_of_slot.items():
+            t = m.get_track(curr, k)
+            j = t.obs.get(keyframe.id)
+            if j is None:
+                continue
+            slots.append(s)
+            bks.append(keyframe.bearings[j])
+            bcs.append(curr.bearings[k])
+        if not slots:
+            return None
+        return dict(curr=curr, keyframe=keyframe, P2D=P2D, P3D=P3D,
+                    lens=lens, valid=valid, kp_of_slot=kp_of_slot,
+                    slots=slots, bks=np.stack(bks), bcs=np.stack(bcs))
+
+    def _judge_decide(self, asm) -> bool:
+        """Pose-dependent half of the judge: IMU prediction, IMU-PARSAC,
+        epipolar-distance separation, tag writes (reference :557-718).
+        Runs after the subwindow drain."""
+        m = self.map
+        cfg = self.config
+        curr = asm["curr"]
+        keyframe = asm["keyframe"]
+        P2D, P3D = asm["P2D"], asm["P3D"]
+        lens, valid = asm["lens"], asm["valid"]
+        kp_of_slot = asm["kp_of_slot"]
+        Km = self.calib.K
 
         q_bc = self.calib.q_bc_h
         p_bc = self.calib.p_bc_h
@@ -1044,19 +1104,9 @@ class SlidingWindowTracker:
         E = _hat(t_rel) @ R
         F_mat = np.linalg.inv(Km).T @ E @ np.linalg.inv(Km)
 
-        slots, bks, bcs = [], [], []
-        for s, k in kp_of_slot.items():
-            t = m.get_track(curr, k)
-            j = t.obs.get(keyframe.id)
-            if j is None:
-                continue
-            slots.append(s)
-            bks.append(keyframe.bearings[j])
-            bcs.append(curr.bearings[k])
-        if not slots:
-            return False
-        bks = np.stack(bks)
-        bcs = np.stack(bcs)
+        slots = asm["slots"]
+        bks = asm["bks"]
+        bcs = asm["bcs"]
         # pixel homogeneous coords + symmetric epipolar distances, vectorized
         def _pix_h(b):
             return np.stack([

@@ -34,13 +34,29 @@ H, W = 480, 752
 CAP = 384
 
 
-def timeit(f, reps=20):
-    f()
-    f()
+def timeit_chained(step, fetch_of, reps=30):
+    """True device time per step on the tunneled TPU.
+
+    block_until_ready does NOT round-trip on the axon tunnel (returns in
+    ~0.1 ms regardless of queue depth), so per-call timing lies. Instead:
+    chain `reps` steps device-to-device (each consumes the previous output)
+    and do ONE device_get at the end — wall = reps * t_device + 1 RTT.
+    The RTT (~25 ms) is measured separately with a 1-step chain."""
+    import jax
+
+    # warm compile + transfer path
+    jax.device_get(fetch_of(step(None)))
+    t1 = time.perf_counter()
+    jax.device_get(fetch_of(step(None)))
+    rtt = time.perf_counter() - t1
+
     t0 = time.perf_counter()
+    carry = None
     for _ in range(reps):
-        f()
-    return (time.perf_counter() - t0) / reps * 1e3
+        carry = step(carry)
+    jax.device_get(fetch_of(carry))
+    total = time.perf_counter() - t0
+    return (total - rtt) / (reps - 1) * 1e3, rtt * 1e3
 
 
 def main():
@@ -73,52 +89,65 @@ def main():
     state = fl.FTLoopState(pix=jpts, valid=valid_act,
                            life=jnp.where(valid_act, 5, 0).astype(jnp.int32))
 
-    def step(detect, pallas=False):
-        s, f = fl.ft_loop_step(
-            state, pyr1, pyr2, R, key, drop, K, np.float32(0.02),
-            detect=detect, max_points=200, min_dist=10.0, num_hypotheses=128,
-            use_pallas=pallas, interpret=None if pallas else False)
-        return jax.block_until_ready(f)
+    def step_fl(detect, pallas=False):
+        def s(carry):
+            st = state if carry is None else carry
+            st2, _ = fl.ft_loop_step(
+                st, pyr1, pyr2, R, key, drop, K, np.float32(0.02),
+                detect=detect, max_points=200, min_dist=10.0,
+                num_hypotheses=128,
+                use_pallas=pallas, interpret=None if pallas else False)
+            return st2
+        return s, lambda st: st.pix
 
-    def lk_xla():
-        t, s = klt.lk_track_fwd_rev(pyr1, pyr2, jpts, jpts, valid)
-        return jax.block_until_ready((t, s))
+    def step_lk(pallas):
+        fn = (klt_pallas.lk_track_fwd_rev_pallas if pallas
+              else klt.lk_track_fwd_rev)
+        kw = ({"interpret": None if jax.default_backend() == "tpu" else True}
+              if pallas else {})
 
-    def lk_pal():
-        t, s = klt_pallas.lk_track_fwd_rev_pallas(
-            pyr1, pyr2, jpts, jpts, valid,
-            interpret=None if jax.default_backend() == "tpu" else True)
-        return jax.block_until_ready((t, s))
+        def s(carry):
+            p = jpts if carry is None else carry
+            t, st = fn(pyr1, pyr2, p, p, valid, **kw)
+            # keep coords in-frame so the chain stays representative
+            return jnp.clip(t, 30.0, 400.0)
+        return s, lambda t: t
 
-    def poisson():
-        return poisson_disk_filter(
-            jpts, valid, min_distance=10.0, width=float(W), height=float(H)
-        ).block_until_ready()
+    def step_poisson():
+        def s(carry):
+            p = jpts if carry is None else carry
+            acc = poisson_disk_filter(
+                p, valid, min_distance=10.0, width=float(W), height=float(H))
+            return p + acc[:, None].astype(jnp.float32) * 1e-3
+        return s, lambda p: p
 
-    def gftt():
-        p, v, s = detect_gftt(pyr2[0], jpts, valid, max_points=200,
-                              min_dist=10.0)
-        return jax.block_until_ready((p, v))
-
+    def step_gftt():
+        def s(carry):
+            p = jpts if carry is None else carry
+            pix, v, _ = detect_gftt(pyr2[0], p[:200], valid[:200],
+                                    max_points=200, min_dist=10.0)
+            return jnp.concatenate([pix + 1e-3, p[200:]], axis=0)
+        return s, lambda p: p
     print(f"[bench_fl] backend={jax.default_backend()} cap={CAP} "
           f"img={W}x{H}", file=sys.stderr)
     rows = [
-        ("ft_loop_step detect=False", lambda: step(False)),
-        ("ft_loop_step detect=True", lambda: step(True)),
-        ("ft_loop_step pallas detect=False", lambda: step(False, True)),
-        ("LK fwd+rev XLA (384 kp)", lk_xla),
-        ("LK fwd+rev Pallas (384 kp)", lk_pal),
-        ("poisson device scan (384)", poisson),
-        ("GFTT detect (200/1024 cand)", gftt),
+        ("ft_loop_step detect=False", step_fl(False)),
+        ("ft_loop_step detect=True", step_fl(True)),
+        ("ft_loop_step pallas detect=False", step_fl(False, True)),
+        ("ft_loop_step pallas detect=True", step_fl(True, True)),
+        ("LK fwd+rev XLA (384 kp)", step_lk(False)),
+        ("LK fwd+rev Pallas (384 kp)", step_lk(True)),
+        ("poisson device scan (384)", step_poisson()),
+        ("GFTT detect (200 kp, 1024 cand)", step_gftt()),
     ]
-    print("| component | ms |")
-    print("|---|---|")
-    for name, f in rows:
+    print("| component | device ms/step | fetch RTT ms |")
+    print("|---|---|---|")
+    for name, (s, fo) in rows:
         try:
-            ms = timeit(f)
-            print(f"| {name} | {ms:.2f} |")
+            ms, rtt = timeit_chained(s, fo)
+            print(f"| {name} | {ms:.2f} | {rtt:.1f} |", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"| {name} | failed: {str(e)[:120]} |")
+            print(f"| {name} | failed: {str(e)[:120]} | |", flush=True)
 
 
 if __name__ == "__main__":
