@@ -152,6 +152,13 @@ def supervise(argv):
 # ---------------------------------------------------------------------------
 
 def worker(argv):
+    # stack dumps on demand: kill -USR1 <worker pid> prints every thread's
+    # Python stack to stderr (hang diagnosis on the tunneled device)
+    import faulthandler
+
+    if hasattr(signal, "SIGUSR1"):
+        faulthandler.register(signal.SIGUSR1, file=sys.stderr)
+
     force_cpu = "--cpu" in argv
     if force_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -297,6 +304,11 @@ def worker(argv):
         except Exception as e:  # noqa: BLE001 — report what we measured
             t_end = time.perf_counter()
             diag = f"{type(e).__name__}: {e}"
+            if e.__cause__ is not None:
+                import traceback
+
+                diag += f" <- {type(e.__cause__).__name__}: {e.__cause__}"
+                traceback.print_exception(e.__cause__, file=sys.stderr)
             print(f"[bench:{tag}] pipeline error: {diag}",
                   file=sys.stderr, flush=True)
             try:

@@ -26,10 +26,26 @@ def qconj(q):
     return np.array([q[0], -q[1], -q[2], -q[3]])
 
 
+def _cross3(a, b):
+    """Explicit 3-vector cross product: np.cross's moveaxis/broadcast
+    machinery costs ~5x the arithmetic for the small arrays used here
+    (round-3 host-path profile)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return np.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
 def qrot(q, v):
     qv = np.asarray(q[1:])
-    t = 2.0 * np.cross(qv, v)
-    return np.asarray(v) + q[0] * t + np.cross(qv, t)
+    t = 2.0 * _cross3(qv, v)
+    return np.asarray(v) + q[0] * t + _cross3(qv, t)
 
 
 def qnorm(q):

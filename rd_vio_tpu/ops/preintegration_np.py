@@ -33,9 +33,11 @@ def _quat_mul(a, b):
 
 
 def _quat_rotate(q, v):
+    from rd_vio_tpu.models.quat_np import _cross3
+
     w = q[0]
     u = q[1:]
-    return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+    return v + 2.0 * _cross3(u, _cross3(u, v) + w * v)
 
 
 def _expmap(rv):
