@@ -281,6 +281,11 @@ def worker(argv):
                 if kind == 1:
                     odo.add_motion(t, seq.gyro[i], seq.accel[i])
                 else:
+                    if not odo.healthy():
+                        # a worker died: frames would now race through
+                        # unprocessed and fake an absurd fps — surface the
+                        # error instead of measuring garbage
+                        odo.join()
                     odo.add_frame(t, frame_arg(i))
                     n_frames += 1
                     if n_frames % 25 == 0:

@@ -93,6 +93,12 @@ class Odometry:
     def add_accelerometer(self, t: float, a) -> None:
         self.handler.track_accelerometer(t, a)
 
+    def healthy(self) -> bool:
+        """False once a pipeline worker has failed (threaded mode): callers
+        measuring throughput must stop counting — frames 'ingested' after a
+        worker death race through unprocessed."""
+        return self.handler._worker_error is None
+
     # -- outputs ---------------------------------------------------------
     def transform_world_cam(self, t: Optional[float] = None):
         """Body pose composed with the output extrinsic (reference
