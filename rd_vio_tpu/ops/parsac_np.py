@@ -253,7 +253,19 @@ def solve_pnp_dlt_np(x_world, p_norm):
 
 
 def pnp_reprojection_error_np(R_cw, t_cw, x_world, p_norm):
-    x_cam = np.einsum("...ij,...nj->...ni", R_cw, x_world) + t_cw[..., None, :]
+    if R_cw.ndim == 3 and x_world.ndim in (2, 3):
+        # bank of K models vs shared N points: one (3K, 3) @ (3, N) BLAS GEMM
+        # (np.einsum lowers this to the slow c_einsum loop — see
+        # frontend_step_np._batched_apply; ~2.3 ms -> ~0.2 ms at K=128,N=256)
+        K = R_cw.shape[0]
+        pts = x_world[0] if x_world.ndim == 3 else x_world
+        xc = (R_cw.reshape(3 * K, 3) @ pts.T).reshape(K, 3, -1)
+        x_cam = xc.transpose(0, 2, 1) + t_cw[..., None, :]
+    else:
+        x_cam = (
+            np.einsum("...ij,...nj->...ni", R_cw, x_world)
+            + t_cw[..., None, :]
+        )
     z = x_cam[..., 2]
     zs = np.where(np.abs(z[..., None]) < 1e-12, 1e-12, z[..., None])
     pred = x_cam[..., :2] / zs
