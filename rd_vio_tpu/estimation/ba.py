@@ -386,7 +386,7 @@ def solve_normal_system(H, g, Hll, Hcl, bl, cmask, lam, opt_lm):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@jax.jit
 def solve_ba(states: FrameStates, inv_depth, pb: BAProblem, max_iterations: int = 10):
     """Levenberg-Marquardt with accept/reject, early termination, and a fixed
     iteration budget (reference solver.cpp:180-194 runs <= config iterations of

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from rd_vio_tpu.estimation import ba, factors as F
 from rd_vio_tpu.estimation.state import FrameStates
+from rd_vio_tpu.utils import device_time
 from rd_vio_tpu.models.map import (
     FT_FIX_MOTION, FT_FIX_POSE, Frame, Map, Track, TT_TRIANGULATED, TT_VALID,
 )
@@ -435,7 +436,14 @@ def _assemble(spec: BASpec, caps: Caps, calib: CalibArrays):
     pp_val = np.zeros(Pcap, bool)
     pi_ = 0
     for tgt, anchor, track in spec.reproj_prior:
-        if pi_ >= Pcap or tgt.id not in slot:
+        if pi_ >= Pcap:
+            logging.getLogger(__name__).warning(
+                "solve assembly: reprojection-prior budget exhausted "
+                "(P=%d); remaining prior factors dropped (raise Caps.P)",
+                Pcap,
+            )
+            break
+        if tgt.id not in slot:
             continue
         kt = track.obs.get(tgt.id)
         ka = track.obs.get(anchor.id)
@@ -646,13 +654,13 @@ def _finalize_noprior_jit(pa, calib):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@jax.jit
 def _solve_noprior_jit(pa, calib, max_iterations):
     states, invd, pb = _finalize_problem(pa, calib, None, False)
     return ba.solve_ba(states, invd, pb, max_iterations=max_iterations)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@jax.jit
 def _solve_prior_jit(pa, calib, prior, max_iterations):
     states, invd, pb = _finalize_problem(pa, calib, prior, True)
     return ba.solve_ba(states, invd, pb, max_iterations=max_iterations)
@@ -673,7 +681,104 @@ def solve_spec(spec: BASpec, calib: CalibArrays, caps: Caps, dtype=None,
     return res, lm_slot
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _override_prev_states(s, prev: FrameStates, prev_map):
+    """Seed initial frame states from a device-resident previous solve:
+    slot i takes prev[prev_map[i]] when prev_map[i] >= 0, else keeps the
+    host-assembled value. Pure gather/where — shapes are static."""
+    use = prev_map >= 0
+    idx = jnp.clip(prev_map, 0)
+    dt = s.q.dtype
+
+    def pick(a_prev, a_host):
+        sel = use.reshape((-1,) + (1,) * (a_host.ndim - 1))
+        return jnp.where(sel, a_prev[idx].astype(dt), a_host)
+
+    return FrameStates(
+        q=pick(prev.q, s.q), p=pick(prev.p, s.p), v=pick(prev.v, s.v),
+        bg=pick(prev.bg, s.bg), ba=pick(prev.ba, s.ba),
+    )
+
+
+@jax.jit
+def _fused_localize_subwindow_chain_jit(
+    pa_loc, pa_sub, j_slot, prev, loc_ip_prev, sub_prev, calib, max_iterations
+):
+    """Per-frame localize + subwindow solve with DEVICE-RESIDENT state
+    chaining (round-4: the estimator twin of the round-3 frontend loop).
+
+    `prev` is the previous subwindow solve's device-resident FrameStates;
+    `loc_ip_prev` (scalar) chains the localize problem's preintegration-prior
+    anchor state; `sub_prev` (W,) seeds the subwindow initial states. The
+    host's mirrors may be one or two refinements stale — the frame-to-frame
+    state dependency (reference sliding_window_tracker.cpp:80-99: localize
+    against the REFINED last subframe) lives entirely on the device, so the
+    host never blocks on a result fetch on this path.
+
+    Note the prior anchor's bg_i/ba_i stay at the host-assembled values: they
+    are also the delta's bias linearization point (the delta was integrated
+    at them). The chained override replaces only (q_i, p_i, v_i); the bias
+    anchor is at most one subwindow refinement stale, which moves biases by
+    ~the bias random-walk step — negligible against the walk covariance."""
+    from rd_vio_tpu.ops.lie import quat_mul, quat_normalize, quat_rotate
+
+    s_loc, invd_loc, pb_loc = _finalize_problem(pa_loc, calib, None, False)
+
+    dt_ = s_loc.q.dtype
+    ip = pb_loc.imu_prior
+    use = loc_ip_prev >= 0
+    pidx = jnp.clip(loc_ip_prev, 0)
+    row0 = jnp.arange(ip.q_i.shape[0]) == 0
+
+    def over(a_ip, a_prev):
+        sel = (use & row0).reshape((-1,) + (1,) * (a_ip.ndim - 1))
+        return jnp.where(sel, a_prev[pidx].astype(dt_)[None], a_ip)
+
+    ip = ip._replace(
+        q_i=over(ip.q_i, prev.q), p_i=over(ip.p_i, prev.p),
+        v_i=over(ip.v_i, prev.v),
+    )
+    pb_loc = pb_loc._replace(imu_prior=ip)
+
+    # device predict of the new frame's initial state from the chained anchor
+    # (mirrors ops/preintegration_np.predict_mean = reference
+    # preintegrator.cpp:102-112), replacing the host's stale-base prediction
+    g = F.GRAVITY.astype(dt_)
+    t_d = ip.delta.t[0]
+    q_i, p_i, v_i = ip.q_i[0], ip.p_i[0], ip.v_i[0]
+    v_pred = v_i + g * t_d + quat_rotate(q_i, ip.delta.v[0])
+    p_pred = p_i + 0.5 * g * t_d * t_d + v_i * t_d + quat_rotate(
+        q_i, ip.delta.p[0]
+    )
+    q_pred = quat_normalize(quat_mul(q_i, ip.delta.q[0]))
+
+    def seed0(a, val):
+        sel = (use & (jnp.arange(a.shape[0]) == 0)).reshape(
+            (-1,) + (1,) * (a.ndim - 1)
+        )
+        return jnp.where(sel, val[None], a)
+
+    s_loc = FrameStates(
+        q=seed0(s_loc.q, q_pred), p=seed0(s_loc.p, p_pred),
+        v=seed0(s_loc.v, v_pred),
+        bg=seed0(s_loc.bg, ip.bg_i[0]), ba=seed0(s_loc.ba, ip.ba_i[0]),
+    )
+    res_loc = ba.solve_ba(s_loc, invd_loc, pb_loc, max_iterations=max_iterations)
+
+    s_sub, invd_sub, pb_sub = _finalize_problem(pa_sub, calib, None, False)
+    s_sub = _override_prev_states(s_sub, prev, sub_prev)
+    sl = res_loc.states
+    s_sub = FrameStates(
+        q=s_sub.q.at[j_slot].set(sl.q[0]),
+        p=s_sub.p.at[j_slot].set(sl.p[0]),
+        v=s_sub.v.at[j_slot].set(sl.v[0]),
+        bg=s_sub.bg.at[j_slot].set(sl.bg[0]),
+        ba=s_sub.ba.at[j_slot].set(sl.ba[0]),
+    )
+    res_sub = ba.solve_ba(s_sub, invd_sub, pb_sub, max_iterations=max_iterations)
+    return res_sub
+
+
+@jax.jit
 def _fused_localize_subwindow_jit(pa_loc, pa_sub, j_slot, calib, max_iterations):
     """Per-frame localize solve chained into the subwindow refinement, all
     on-device (reference track() :101-125 then :349-444 for the subframe
@@ -698,9 +803,14 @@ def _fused_localize_subwindow_jit(pa_loc, pa_sub, j_slot, calib, max_iterations)
 def solve_localize_subwindow(
     spec_loc: BASpec, spec_sub: BASpec, j_slot: int, calib: CalibArrays,
     caps: Caps, dtype=None, max_iterations: int = 10,
+    prev_states: Optional[FrameStates] = None, loc_ip_prev: int = -1,
+    sub_prev: Optional[np.ndarray] = None,
 ):
-    """Fused per-frame solve for the subframe path: ONE dispatch + ONE fetch
-    instead of two (integrate + solve + fetch) sequences. Returns
+    """Fused per-frame solve for the subframe path: ONE dispatch, NO blocking
+    fetch. With prev_states (the previous subwindow solve's device-resident
+    states) the i-anchor of the localization prior and the subwindow initial
+    states chain device-to-device (round-4 estimator residency); without it
+    the host-assembled states are used as-is. Returns
     (BAResult of the subwindow solve, lm_slot of the subwindow problem)."""
     from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
 
@@ -709,9 +819,25 @@ def solve_localize_subwindow(
         pa_sub, lm_slot = _assemble(spec_sub, caps, calib)
         pa_loc = _cast_pa(pa_loc, dtype)
         pa_sub = _cast_pa(pa_sub, dtype)
-    res = _fused_localize_subwindow_jit(
-        pa_loc, pa_sub, j_slot, calib.tree, max_iterations=max_iterations
-    )
+    if prev_states is not None:
+        if sub_prev is None:
+            sub_prev = np.full(caps.W, -1, np.int32)
+        res = _fused_localize_subwindow_chain_jit(
+            pa_loc, pa_sub, j_slot, prev_states,
+            jnp.int32(loc_ip_prev), jnp.asarray(sub_prev, jnp.int32),
+            calib.tree, max_iterations=max_iterations,
+        )
+        if device_time.CAPTURE:
+            device_time.capture(
+                "subwindow", pa_loc=pa_loc, pa_sub=pa_sub, j_slot=j_slot,
+                prev=prev_states, loc_ip_prev=jnp.int32(loc_ip_prev),
+                sub_prev=jnp.asarray(sub_prev, jnp.int32), calib=calib.tree,
+                max_iterations=jnp.int32(max_iterations),
+            )
+    else:
+        res = _fused_localize_subwindow_jit(
+            pa_loc, pa_sub, j_slot, calib.tree, max_iterations=max_iterations
+        )
     return res, lm_slot
 
 
@@ -770,6 +896,7 @@ def _assemble_validation(
             "tracks fail validation closed", len(tracks), Lv,
         )
     q_bc, p_bc = calib.q_bc_h, calib.p_bc_h
+    cam_cache = {}
     oi = 0
     for ti, t in enumerate(tracks[:Lv]):
         aid = t.first_frame_id()
@@ -781,7 +908,10 @@ def _assemble_validation(
         s = wslot.get(aid, -1)
         a_slot[ti] = s
         if s < 0:
-            a_qc[ti], a_pc[ti] = af.get_pose(q_bc, p_bc)
+            c = cam_cache.get(aid)
+            if c is None:
+                c = cam_cache[aid] = af.get_pose(q_bc, p_bc)
+            a_qc[ti], a_pc[ti] = c
         lmw[ti] = lm_slot_w.get(t.id, -1)
         if tri_idx_of_tid is not None:
             tri_idx[ti] = tri_idx_of_tid.get(t.id, -1)
@@ -868,7 +998,7 @@ def _validate_tracks_device(va, s64: FrameStates, invd64, ext: F.Extrinsics,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@jax.jit
 def _fused_window_tail_jit(pa_w, prior, va, calib, max_iterations):
     """Window VI-BA solve -> on-device landmark validation (reference
     keyframe tail refine_window :226-337 -> validation :304-336). The solve
@@ -912,7 +1042,7 @@ def _marginalize_tail_jit(s_res, invd_res, valid_out, tri_invd, tri_ok,
     return marginalization.marginalize_frame0(s64, invd_m, pb_m)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@jax.jit
 def _fused_keyframe_jit(
     pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
     pa_w, j_w, wlm_tri, prior, va,
@@ -1052,6 +1182,17 @@ def solve_keyframe_fused(
         jnp.asarray(tri_apc), pa_w, j_w, jnp.asarray(wlm_tri), spec_w.prior,
         va, calib.tree, max_iterations=max_iterations,
     )
+    if device_time.CAPTURE and spec_w.prior is not None:
+        device_time.capture(
+            "keyframe", pa_loc=pa_loc, b=jnp.asarray(b), qcw=jnp.asarray(qcw),
+            pcw=jnp.asarray(pcw), m_tri=jnp.asarray(m_tri),
+            us=jnp.asarray(us), tri_aqc=jnp.asarray(tri_aqc),
+            tri_apc=jnp.asarray(tri_apc), pa_w=pa_w, j_w=j_w,
+            wlm_tri=jnp.asarray(wlm_tri), prior=spec_w.prior, va=va,
+            pa_m=pa_m, mlm_vti=jnp.asarray(mlm_vti),
+            mlm_from_w=jnp.asarray(mlm_from_w), mlm_tri=jnp.asarray(mlm_tri),
+            calib=calib.tree, max_iterations=jnp.int32(max_iterations),
+        )
     # marginalization: separate chained program; its prior output stays
     # device-resident for the next keyframe solve — never fetched
     new_prior = _marginalize_tail_jit(
@@ -1160,6 +1301,19 @@ def assemble_triangulation(
     us = np.zeros((n_cap, V))
     q_bc = calib.q_bc_h
     p_bc = calib.p_bc_h
+    # world->camera pose per frame, computed ONCE per frame (the quat math
+    # costs ~20 us per call in small-op NumPy; per view-entry it dominated
+    # the keyframe assembly at hundreds of pending tracks x views)
+    cam_cache = {}
+
+    def _cam(f):
+        c = cam_cache.get(f.id)
+        if c is None:
+            qc, pc = f.get_pose(q_bc, p_bc)
+            qcw_f = qconj(qc)
+            c = cam_cache[f.id] = (qcw_f, -qrot(qcw_f, pc))
+        return c
+
     for ti, t in enumerate(tracks):
         vi = 0
         for fid, k in t.obs.items():
@@ -1169,9 +1323,7 @@ def assemble_triangulation(
             if solved_frame_id is not None and fid == solved_frame_id:
                 us[ti, vi] = 1.0
             else:
-                qc, pc = f.get_pose(q_bc, p_bc)  # camera-to-world
-                qcw[ti, vi] = qconj(qc)
-                pcw[ti, vi] = -qrot(qconj(qc), pc)
+                qcw[ti, vi], pcw[ti, vi] = _cam(f)
             b[ti, vi] = f.bearings[k]
             m[ti, vi] = 1.0
             vi += 1
@@ -1194,7 +1346,7 @@ def triangulate_tracks(
     return pts[:n], ok[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@jax.jit
 def _fused_localize_triangulate_jit(pa_loc, b, qcw, pcw, m, us, calib,
                                     max_iterations):
     """Localize solve chained into batched triangulation: the solved frame's
@@ -1266,18 +1418,27 @@ def get_landmark_point(track: Track, frames_by_id, calib: CalibArrays):
 def get_landmark_points_batch(tracks: List[Track], frames_by_id, calib: CalibArrays):
     """World points of many tracks at once (anchor camera poses computed once
     per distinct anchor frame; the per-track quat math of get_landmark_point
-    costs ~0.1-0.3 ms each in small-op NumPy)."""
+    costs ~0.1-0.3 ms each in small-op NumPy). The anchor keypoint index is
+    gathered through the anchor frame's row->keypoint reverse map (SoA
+    store), not per-track obs dict lookups."""
     out = np.zeros((len(tracks), 3))
-    by_aid: Dict[int, list] = {}
-    for i, t in enumerate(tracks):
-        by_aid.setdefault(t.first_frame_id(), []).append(i)
-    for aid, idxs in by_aid.items():
-        f = frames_by_id[aid]
+    if not tracks:
+        return out
+    st = tracks[0].store
+    rows = np.array([t.row for t in tracks], np.int64)
+    aids = st.first_fid[rows]
+    invd = st.inv_depth[rows]
+    for aid in np.unique(aids):
+        f = frames_by_id[int(aid)]
         qc, pc = f.get_pose(calib.q_bc_h, calib.p_bc_h)
         R = q_to_R(qc)
-        z = np.stack([f.bearings[tracks[i].obs[aid]] for i in idxs])
-        d = np.array([tracks[i].inv_depth for i in idxs])
-        out[idxs] = (z / d[:, None]) @ R.T + pc
+        k_of_row = np.full(st.cap, -1, np.int64)
+        fr = st.rows_of(f.track_ids)
+        fv = fr >= 0
+        k_of_row[fr[fv]] = np.flatnonzero(fv)
+        sel = aids == aid
+        z = f.bearings[k_of_row[rows[sel]]]
+        out[sel] = (z / invd[sel][:, None]) @ R.T + pc
     return out
 
 

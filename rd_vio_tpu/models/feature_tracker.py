@@ -233,12 +233,14 @@ class FeatureTracker:
             % max(cfg.sliding_window_tracker_frequent, 1)
         ) == 0
         use_pallas = getattr(self.backend, "klt_backend", "xla") == "pallas"
-        state, fetch = fl.ft_loop_step(
+        step_args = (
             self._dl_state, last.image.pyramid, frame.image.pyramid,
             jnp.asarray(R_pred, jnp.float32), self._next_key(),
             jnp.asarray(self._dl_drop),
             jnp.asarray(self.calib.K, jnp.float32),
             np.float32(np.radians(cfg.rotation_ransac_threshold)),
+        )
+        step_kwargs = dict(
             detect=detect_due,
             max_points=int(cfg.feature_tracker_max_keypoint_detection),
             min_dist=float(cfg.feature_tracker_min_keypoint_distance),
@@ -246,6 +248,16 @@ class FeatureTracker:
             use_pallas=use_pallas,
             interpret=None if use_pallas else False,
         )
+        state, fetch = fl.ft_loop_step(*step_args, **step_kwargs)
+        from rd_vio_tpu.utils import device_time
+
+        if device_time.CAPTURE and not detect_due:
+            device_time.capture(
+                "ft_loop", state=step_args[0], pyr_a=step_args[1],
+                pyr_b=step_args[2], R_pred=step_args[3], key=step_args[4],
+                drop=step_args[5], K=step_args[6], rot_thr=step_args[7],
+                kwargs=step_kwargs,
+            )
         self._dl_state = state
         # start the device->host copy NOW: by the time the next frame arrives
         # (finalize), the ~25 ms tunnel round trip has already happened
@@ -281,9 +293,15 @@ class FeatureTracker:
                 if k_old < 0:
                     continue
                 t = self.map.get_track(last, k_old, create=True)
-                self.map.add_keypoint(t, frame, int(slot_kp_new[s]))
                 if t.tag(TT_TRASH):
+                    # retire the slot WITHOUT extending the trashed track
+                    # (ADVICE r3: the legacy path filters ~trash before
+                    # linking — a trashed track must not gain a bogus
+                    # observation; its slot still occupies its Poisson cell
+                    # for this one stale frame until the drop mask lands)
                     drop[s] = True
+                    continue
+                self.map.add_keypoint(t, frame, int(slot_kp_new[s]))
         self._dl_slot_kp = slot_kp_new
         self._dl_drop = drop
         return frame
@@ -460,10 +478,9 @@ class FeatureTracker:
             return None
         from rd_vio_tpu.ops import preintegration_np as pre_np
 
-        _, dq, _, _ = pre_np.integrate_mean(
+        return pre_np.interval_rotation_mean(
             frame.imu_dt, frame.imu_w, frame.imu_a, np.zeros(3), np.zeros(3)
         )
-        return dq
 
     def _detect_keypoints(self, frame: Frame):
         cfg = self.config

@@ -66,13 +66,22 @@ class SlidingWindowTracker:
         # prior produced by the fused keyframe-tail program, consumed by the
         # matching slide_window() call
         self._pending_prior: Optional[F.PriorFactor] = None
-        # deferred subwindow result: (AsyncFetch, spec, lm_slot). The
-        # per-frame subframe solve is dispatched + async-fetched but applied
-        # only at the START of the next frame (drain_pending), hiding the
-        # device->host round trip behind the inter-frame host work — the
-        # "one-frame-stale fetch" of the optimizer stage. Every consumer of
-        # solved states runs after a drain.
-        self._pending_sub = None
+        # deferred subwindow results: FIFO of (AsyncFetch, spec, lm_slot).
+        # The per-frame subframe solve is dispatched + async-fetched; the
+        # HOST mirror is refreshed opportunistically (drain_pending applies
+        # completed fetches in order, blocking only to bound the queue at
+        # depth 2) while the frame-to-frame state dependency chains on the
+        # DEVICE (`_dev_sub`, round-4 estimator residency): the next solve's
+        # initial states and prior anchor come from the previous solve's
+        # device-resident result, so correctness never depends on the host
+        # mirror being fresh. Host consumers (judge pose math, spec
+        # constants, outputs) see a consistent <=2-frame-stale snapshot;
+        # the keyframe path force-drains first (block=True).
+        self._pending_subs = []
+        # (FrameStates on device, {frame_id: slot}) of the last subwindow
+        # solve; reset at every keyframe step (whose synchronous fetch
+        # refreshes the host mirror exactly)
+        self._dev_sub = None
         self.m_th = 3.0  # adaptive epipolar threshold (px)
         self.bin_conf_imu = parsac.default_bin_confidences()
         self.bin_conf_2d2d = parsac.default_bin_confidences()
@@ -120,21 +129,34 @@ class SlidingWindowTracker:
         self.map.attach_frame(curr)
 
         # link tracks seen in both old_i and old_j into the SWT map
-        for ki in range(old_i.keypoint_num):
-            tr = ft_map.get_track(old_i, ki)
-            if tr is None:
-                continue
-            kj = tr.obs.get(old_j.id)
-            if kj is None:
-                continue
-            ntr = self.map.get_track(new_frame_i, ki, create=True)
-            self.map.add_keypoint(ntr, curr, kj)
+        # (vectorized pair matching via the FT store's row->keypoint map;
+        # the linking itself mutates per pair)
+        from rd_vio_tpu.models.map import TB_STATIC, TB_TRASH
+
+        ft_st = ft_map.store
+        k_of_row_j = np.full(ft_st.cap, -1, np.int64)
+        rows_j = ft_st.rows_of(old_j.track_ids)
+        jv = rows_j >= 0
+        k_of_row_j[rows_j[jv]] = np.flatnonzero(jv)
+        rows_i = ft_st.rows_of(old_i.track_ids)
+        kj_arr = k_of_row_j[np.clip(rows_i, 0, None)]
+        matched = (rows_i >= 0) & (kj_arr >= 0)
+        ft_trash_clear = []
+        for ki in np.flatnonzero(matched):
+            ntr = self.map.get_track(new_frame_i, int(ki), create=True)
+            self.map.add_keypoint(ntr, curr, int(kj_arr[ki]))
             # propagate trash/static into the FT track (reference :63-66)
             if not (ntr.tag(TT_TRASH) and not ntr.tag(TT_STATIC)):
-                tr.set_tag(TT_TRASH, False)
+                ft_trash_clear.append(rows_i[ki])
+        if ft_trash_clear:
+            ft_st.flags[np.asarray(ft_trash_clear)] &= ~TB_TRASH
 
+        st = self.map.store
+        tids = np.fromiter(self.map.tracks, np.int64, len(self.map.tracks))
+        fl = st.flags[st.rows_of(tids)]
+        doom = ((fl & TB_TRASH) != 0) & ((fl & TB_STATIC) == 0)
         self.map.prune_tracks(
-            lambda t: t.tag(TT_TRASH) and not t.tag(TT_STATIC)
+            doomed=[self.map.tracks[int(t)] for t in tids[doom]]
         )
 
         builders.predict_frame(new_frame_i, curr, self.calib, self.caps.IMU)
@@ -155,7 +177,7 @@ class SlidingWindowTracker:
             with _T.time("swt.judge_asm"):
                 asm = self._judge_assemble()
         with _T.time("swt.drain_pending"):
-            self.drain_pending()
+            self.drain_pending(block=False)
         # re-predict the mirrored frame from the now-drained base state
         # (mirror_frame ran before the drain; its prediction used the
         # pre-refine subframe pose)
@@ -180,6 +202,17 @@ class SlidingWindowTracker:
         from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
 
         if self._keyframe_decision():
+            # the keyframe step consumes host states synchronously (window
+            # spec assembly, marginalization bookkeeping): force-drain the
+            # in-flight subwindow results and re-predict the new frame from
+            # the now-exact base so the localization prior matches the
+            # reference's (which localizes against fully refined states)
+            with T.time("swt.kf.force_drain"):
+                self.drain_pending()
+            kf_i0 = self.map.get_frame(self.map.frame_num - 2)
+            base0 = kf_i0.subframes[-1] if kf_i0.subframes else kf_i0
+            builders.predict_frame(base0, self.map.get_frame(self.map.frame_num - 1),
+                                   self.calib, self.caps.IMU)
             # capture the localization problem BEFORE the keyframe mutations
             # (reference order localize -> manage; the problem reads only
             # pre-manage structure and states, so capturing it here and
@@ -211,6 +244,9 @@ class SlidingWindowTracker:
                     self.refine_window()
                 with T.time("swt.marginalize"):
                     self.slide_window()
+            # the device chain restarts under the new keyframe: the keyframe
+            # step's synchronous fetch made the host mirror exact
+            self._dev_sub = None
         else:
             keyframe_i = self.map.get_frame(self.map.frame_num - 2)
             keyframe_i.subframes.append(self.map.detach_frame(self.map.frame_num - 1))
@@ -238,28 +274,61 @@ class SlidingWindowTracker:
                 if len(keyframe_i.subframes) >= self.config.sliding_window_subframe_size:
                     return True
 
-        mapped = 0
-        for k in range(newframe_j.keypoint_num):
-            t = m.get_track(newframe_j, k)
-            if t is not None and t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
-                mapped += 1
-        return mapped < self.config.sliding_window_force_keyframe_landmarks
+        return (self._mapped_count(newframe_j)
+                < self.config.sliding_window_force_keyframe_landmarks)
+
+    def _mapped_count(self, frame: Frame) -> int:
+        """Count of valid+triangulated+static tracks seen by `frame`
+        (vectorized over the SoA store)."""
+        from rd_vio_tpu.models.map import (
+            TB_STATIC, TB_TRIANGULATED, TB_VALID,
+        )
+
+        st = self.map.store
+        rows = st.rows_of(frame.track_ids)
+        r = np.clip(rows, 0, None)
+        bits = TB_VALID | TB_TRIANGULATED | TB_STATIC
+        return int(np.count_nonzero(
+            (rows >= 0) & ((st.flags[r] & bits) == bits)
+        ))
 
     # ------------------------------------------------------------------
+    def _select_tracks_of_frame(self, frame: Frame, bits, frames_by_id,
+                                exclude_self: bool = True):
+        """Vectorized per-frame track selection: keypoints whose track has
+        all `bits` set and whose anchor frame is in frames_by_id (and is not
+        the frame itself when exclude_self). Returns (kp_idxs, tracks,
+        anchor_fids) — the SoA replacement for the per-keypoint
+        get_track/all_tagged loops (VERDICT r3 item 3)."""
+        st = self.map.store
+        rows = st.rows_of(frame.track_ids)
+        r = np.clip(rows, 0, None)
+        sel = (rows >= 0) & ((st.flags[r] & bits) == bits)
+        ff = st.first_fid[r]
+        sel &= np.isin(ff, np.fromiter(frames_by_id, np.int64,
+                                       len(frames_by_id)))
+        if exclude_self:
+            sel &= ff != frame.id
+        idxs = np.flatnonzero(sel)
+        tracks = [self.map.tracks[int(tid)] for tid in frame.track_ids[idxs]]
+        return idxs, tracks, ff[idxs], r[idxs]
+
     def _localize_spec(self, frame_i: Frame, frame_j: Frame) -> builders.BASpec:
         """Per-frame PnP-style problem: preintegration prior + reprojection
         priors of static landmarks (reference :101-125)."""
+        from rd_vio_tpu.models.map import (
+            TB_STATIC, TB_TRIANGULATED, TB_VALID,
+        )
+
         m = self.map
         frames_by_id = {f.id: f for f in m.all_frames()}
-        reproj_prior = []
-        for k in range(frame_j.keypoint_num):
-            t = m.get_track(frame_j, k)
-            if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
-                continue
-            anchor = frames_by_id.get(t.first_frame_id())
-            if anchor is None or anchor.id == frame_j.id:
-                continue
-            reproj_prior.append((frame_j, anchor, t))
+        _, tracks, afids, _ = self._select_tracks_of_frame(
+            frame_j, TB_VALID | TB_TRIANGULATED | TB_STATIC, frames_by_id,
+        )
+        reproj_prior = [
+            (frame_j, frames_by_id[int(aid)], t)
+            for t, aid in zip(tracks, afids)
+        ]
         imu_prior = [
             (frame_i, frame_j, (frame_j.imu_dt, frame_j.imu_w, frame_j.imu_a))
         ]
@@ -318,11 +387,7 @@ class SlidingWindowTracker:
                         newframe_j.set_tag(FT_KEYFRAME, True)
                         return True
 
-        mapped = 0
-        for k in range(newframe_j.keypoint_num):
-            t = m.get_track(newframe_j, k)
-            if t is not None and t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
-                mapped += 1
+        mapped = self._mapped_count(newframe_j)
 
         if mapped < self.config.sliding_window_force_keyframe_landmarks:
             newframe_j.set_tag(FT_KEYFRAME, True)
@@ -388,18 +453,25 @@ class SlidingWindowTracker:
         (not yet triangulated; the fully-fused keyframe step triangulates them
         in-program) are included with keyframe anchors; their factors are
         gated on-device by triangulation success."""
+        from rd_vio_tpu.models.map import (
+            TB_STATIC, TB_TRIANGULATED, TB_VALID,
+        )
+
         m = self.map
-        fid_set = {f.id for f in frames}
+        st = m.store
         pending_ids = set()
 
-        opt_tracks = []
-        for t in m.tracks.values():
-            if not (t.tag(TT_VALID) and t.tag(TT_STATIC) and t.tag(TT_TRIANGULATED)):
-                continue
-            anchor = frames_by_id.get(t.first_frame_id())
-            if anchor is None or not anchor.tag(FT_KEYFRAME):
-                continue
-            opt_tracks.append(t)
+        # anchor gate: first frame is a WINDOW KEYFRAME (vectorized over the
+        # whole track pool via the SoA store — VERDICT r3 item 3)
+        kf_fids = np.fromiter(
+            (f.id for f in frames if f.tag(FT_KEYFRAME)), np.int64,
+        )
+        all_tids = np.fromiter(m.tracks, np.int64, len(m.tracks))
+        all_rows = st.rows_of(all_tids)
+        bits = TB_VALID | TB_STATIC | TB_TRIANGULATED
+        osel = ((st.flags[all_rows] & bits) == bits) \
+            & np.isin(st.first_fid[all_rows], kf_fids)
+        opt_tracks = [m.tracks[int(tid)] for tid in all_tids[osel]]
         for t in pending:
             anchor = frames_by_id.get(t.first_frame_id())
             if anchor is None or not anchor.tag(FT_KEYFRAME):
@@ -407,24 +479,27 @@ class SlidingWindowTracker:
             opt_tracks.append(t)
             pending_ids.add(t.id)
 
+        pend_row = np.zeros(st.cap, bool)
+        if pending_ids:
+            prw = st.rows_of(np.fromiter(pending_ids, np.int64,
+                                         len(pending_ids)))
+            pend_row[prw[prw >= 0]] = True
+
         reproj = []
         for f in frames:
-            for k in range(f.keypoint_num):
-                t = m.get_track(f, k)
-                if t is None:
-                    continue
-                if not (
-                    t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC)
-                    or t.id in pending_ids
-                ):
-                    continue
-                aid = t.first_frame_id()
-                if aid == f.id or aid not in fid_set:
-                    continue
-                anchor = frames_by_id[aid]
-                if not anchor.tag(FT_KEYFRAME):
-                    continue
-                reproj.append((f, anchor, t, False))
+            rows = st.rows_of(f.track_ids)
+            r = np.clip(rows, 0, None)
+            fsel = (rows >= 0) & (
+                ((st.flags[r] & bits) == bits) | pend_row[r]
+            )
+            ff = st.first_fid[r]
+            fsel &= (ff != f.id) & np.isin(ff, kf_fids)
+            idxs = np.flatnonzero(fsel)
+            for k in idxs:
+                reproj.append((
+                    f, frames_by_id[int(ff[k])],
+                    m.tracks[int(f.track_ids[k])], False,
+                ))
 
         imu = []
         for j in range(1, len(frames)):
@@ -570,26 +645,51 @@ class SlidingWindowTracker:
             if not t.tag(TT_VALID):
                 t.set_tag(TT_TRASH, True)
 
+    def _select_pending(self, newframe: Frame):
+        """Not-yet-triangulated tracks of the new keyframe (reference
+        track_landmark :204-224), vectorized over the SoA store and bounded
+        at caps.L with a loud warning (VERDICT r3 item 9: silently dropped
+        pending tracks would never be triangulated this keyframe)."""
+        from rd_vio_tpu.models.map import TB_TRIANGULATED
+
+        m = self.map
+        st = m.store
+        nrows = st.rows_of(newframe.track_ids)
+        psel = (nrows >= 0) & (
+            (st.flags[np.clip(nrows, 0, None)] & TB_TRIANGULATED) == 0
+        )
+        pending = [m.tracks[int(tid)] for tid in newframe.track_ids[psel]]
+        if len(pending) > self.caps.L:
+            logging.getLogger(__name__).warning(
+                "track_landmark: %d pending tracks exceed caps.L=%d; "
+                "overflow tracks deferred to a later keyframe (raise Caps.L)",
+                len(pending), self.caps.L,
+            )
+            pending = pending[: self.caps.L]
+        return pending
+
     def _keyframe_fused(self, spec_loc, frame_j):
         """Fully-fused sliding-keyframe step (see builders.solve_keyframe_fused):
         mirrors track_landmark + refine_window + _validate_landmarks + the
         device part of slide_window's first marginalization."""
+        from rd_vio_tpu.models.map import TB_TRIANGULATED
+
         m = self.map
+        st = m.store
         frames = list(m.frames)
         frames_by_id = {f.id: f for f in m.all_frames()}
         newframe = frames[-1]
 
-        # pending tracks of the new keyframe (reference track_landmark :204-224)
-        pending = []
-        for k in range(newframe.keypoint_num):
-            t = m.get_track(newframe, k)
-            if t is not None and not t.tag(TT_TRIANGULATED):
-                pending.append(t)
-        pending = pending[: self.caps.L]
+        # pending tracks of the new keyframe (reference track_landmark
+        # :204-224), vectorized over the SoA store
+        pending = self._select_pending(newframe)
         pending_ids = {t.id for t in pending}
 
         spec_w = self._window_spec(frames, frames_by_id, pending=pending)
-        tracks_v = [t for t in m.tracks.values() if t.tag(TT_TRIANGULATED)]
+        all_tids = np.fromiter(m.tracks, np.int64, len(m.tracks))
+        all_rows = st.rows_of(all_tids)
+        tri_sel = (st.flags[all_rows] & TB_TRIANGULATED) != 0
+        tracks_v = [m.tracks[int(tid)] for tid in all_tids[tri_sel]]
         tracks_v += pending
         spec_m = self._marg_spec(
             frames, frames_by_id, require_valid=False, pending_ids=pending_ids
@@ -617,48 +717,84 @@ class SlidingWindowTracker:
         # localize result (frame_j may be a subframe outside the window)
         frame_j.q, frame_j.p, frame_j.v = lq[0], lp[0], lv[0]
         frame_j.bg, frame_j.ba = lbg[0], lba[0]
-        # window states + optimized inverse depths
+        # window states + optimized inverse depths (vectorized store writes)
         for i, f in enumerate(spec_w.frames):
             f.q, f.p, f.v, f.bg, f.ba = q[i], p[i], v[i], bg[i], ba_[i]
-        by_id = {t.id: t for t in spec_w.opt_tracks}
-        for tid, sl_i in lm_w.items():
-            t = by_id.get(tid)
-            if t is not None and tid not in pending_ids:
-                t.inv_depth = float(invd_h[sl_i])
-        # pending-track outcomes (mirror track_landmark :299-309)
-        for i, t in enumerate(pending):
-            if ok_h[i]:
-                sl_i = lm_w.get(t.id)
-                t.inv_depth = (
-                    float(invd_h[sl_i]) if sl_i is not None else float(tri_h[i])
-                )
-                t.set_tag(TT_TRIANGULATED, True)
-                t.set_tag(TT_VALID, True)
-                t.set_tag(TT_STATIC, True)
-                t.life = 1
-            else:
-                t.inv_depth = -1.0
-                t.set_tag(TT_TRIANGULATED, False)
-                t.set_tag(TT_VALID, False)
-        # validation side effects (mirror _validate_landmarks)
-        for t in m.tracks.values():
-            if not t.tag(TT_TRIANGULATED):
-                t.inv_depth = -1.0
-        for ti, t in enumerate(tracks_v[: len(valid_h)]):
-            if t.tag(TT_TRIANGULATED):
-                t.set_tag(TT_VALID, bool(valid_h[ti]))
-        for t in tracks_v[len(valid_h):]:  # beyond validation capacity: closed
-            t.set_tag(TT_VALID, False)
-        for t in m.tracks.values():
-            if not t.tag(TT_VALID):
-                t.set_tag(TT_TRASH, True)
+        self._apply_kf_track_results(
+            lm_w, invd_h, pending, pending_ids, ok_h, tri_h,
+            tracks_v, valid_h,
+        )
         self._pending_prior = new_prior  # consumed by slide_window
+
+    def _apply_kf_track_results(self, lm_w, invd_h, pending, pending_ids,
+                                ok_h, tri_h, tracks_v, valid_h):
+        """Vectorized host application of the fused keyframe step's track
+        outcomes: optimized inverse depths, pending-track triangulation
+        results (mirror track_landmark :299-309), and landmark validation
+        side effects (mirror _validate_landmarks / reference :304-336)."""
+        from rd_vio_tpu.models.map import (
+            TB_STATIC, TB_TRASH, TB_TRIANGULATED, TB_VALID,
+        )
+
+        m = self.map
+        st = m.store
+        # window inverse depths (non-pending opt tracks)
+        if lm_w:
+            tids_w = np.fromiter(lm_w.keys(), np.int64, len(lm_w))
+            slots_w = np.fromiter(lm_w.values(), np.int64, len(lm_w))
+            rows_w = st.rows_of(tids_w)
+            keep = rows_w >= 0
+            if pending_ids:
+                keep &= ~np.isin(
+                    tids_w,
+                    np.fromiter(pending_ids, np.int64, len(pending_ids)),
+                )
+            st.inv_depth[rows_w[keep]] = invd_h[slots_w[keep]]
+        # pending-track outcomes
+        if pending:
+            rows_p = np.array([t.row for t in pending], np.int64)
+            ok = np.asarray(ok_h[: len(pending)], bool)
+            sl = np.array([lm_w.get(t.id, -1) for t in pending], np.int64)
+            depth_new = np.where(
+                sl >= 0, invd_h[np.clip(sl, 0, None)],
+                np.asarray(tri_h[: len(pending)]),
+            )
+            rok = rows_p[ok]
+            st.inv_depth[rok] = depth_new[ok]
+            st.flags[rok] |= TB_TRIANGULATED | TB_VALID | TB_STATIC
+            st.life[rok] = 1
+            rbad = rows_p[~ok]
+            st.inv_depth[rbad] = -1.0
+            st.flags[rbad] &= ~(TB_TRIANGULATED | TB_VALID)
+        # validation side effects over the whole pool
+        all_rows = st.rows_of(np.fromiter(m.tracks, np.int64, len(m.tracks)))
+        fl = st.flags[all_rows]
+        st.inv_depth[all_rows[(fl & TB_TRIANGULATED) == 0]] = -1.0
+        if len(tracks_v):
+            rows_v = np.array([t.row for t in tracks_v], np.int64)
+            nv = min(len(rows_v), len(valid_h))
+            rv = rows_v[:nv]
+            tri_now = (st.flags[rv] & TB_TRIANGULATED) != 0
+            vh = np.asarray(valid_h[:nv], bool) & tri_now
+            set_r = rv[tri_now & vh]
+            clr_r = rv[tri_now & ~vh]
+            st.flags[set_r] |= TB_VALID
+            st.flags[clr_r] &= ~TB_VALID
+            # beyond validation capacity: fail closed
+            st.flags[rows_v[nv:]] &= ~TB_VALID
+        fl = st.flags[all_rows]
+        st.flags[all_rows[(fl & TB_VALID) == 0]] |= TB_TRASH
 
     def _refine_window_fused_tail(self, spec, frames, frames_by_id):
         """Fused keyframe tail: window solve + on-device landmark validation +
         slot-0 marginalization in one program; apply results back on host."""
+        from rd_vio_tpu.models.map import TB_TRIANGULATED
+
         m = self.map
-        tracks_v = [t for t in m.tracks.values() if t.tag(TT_TRIANGULATED)]
+        st = m.store
+        all_tids = np.fromiter(m.tracks, np.int64, len(m.tracks))
+        tri_sel = (st.flags[st.rows_of(all_tids)] & TB_TRIANGULATED) != 0
+        tracks_v = [m.tracks[int(tid)] for tid in all_tids[tri_sel]]
         # marginalization spec with RELAXED validity (TT_VALID / inv_depth are
         # only known post-solve; the device program gates each factor on the
         # validation outcome instead)
@@ -674,22 +810,10 @@ class SlidingWindowTracker:
         )
         for i, f in enumerate(spec.frames):
             f.q, f.p, f.v, f.bg, f.ba = q[i], p[i], v[i], bg[i], ba_[i]
-        by_id = {t.id: t for t in spec.opt_tracks}
-        for tid, sl in lm_w.items():
-            t = by_id.get(tid)
-            if t is not None:
-                t.inv_depth = float(invd_h[sl])
-        # validation side effects (mirror _validate_landmarks)
-        for t in m.tracks.values():
-            if not t.tag(TT_TRIANGULATED):
-                t.inv_depth = -1.0
-        for ti, t in enumerate(tracks_v[: len(valid_h)]):
-            t.set_tag(TT_VALID, bool(valid_h[ti]))
-        for t in tracks_v[len(valid_h):]:  # beyond validation capacity: closed
-            t.set_tag(TT_VALID, False)
-        for t in m.tracks.values():
-            if not t.tag(TT_VALID):
-                t.set_tag(TT_TRASH, True)
+        self._apply_kf_track_results(
+            lm_w, invd_h, [], set(), np.zeros(0, bool), np.zeros(0),
+            tracks_v, valid_h,
+        )
         self._pending_prior = new_prior  # consumed by slide_window
 
     # ------------------------------------------------------------------
@@ -718,24 +842,36 @@ class SlidingWindowTracker:
         preintegration factor + the current prior. `pending_ids`: tracks being
         triangulated in-program (fused keyframe step) — included here and
         gated on-device."""
+        from rd_vio_tpu.models.map import TB_TRIANGULATED, TB_VALID
+
         m = self.map
+        st = m.store
         victim = frames[0]
         fid_set = {f.id for f in frames}
 
+        kf_fids = np.fromiter(
+            (f.id for f in frames if f.tag(FT_KEYFRAME)), np.int64,
+        )
+        rows = st.rows_of(victim.track_ids)
+        r = np.clip(rows, 0, None)
+        fl = st.flags[r]
+        pend_row = np.zeros(st.cap, bool)
+        if pending_ids:
+            prw = st.rows_of(np.fromiter(pending_ids, np.int64,
+                                         len(pending_ids)))
+            pend_row[prw[prw >= 0]] = True
+        vsel = (rows >= 0) & (((fl & TB_TRIANGULATED) != 0) | pend_row[r])
+        if require_valid:
+            vsel &= ((fl & TB_VALID) != 0) & (st.inv_depth[r] > 0)
+        vsel &= np.isin(st.first_fid[r], kf_fids)
+
         reproj = []
         tracks = []
-        for k in range(victim.keypoint_num):
-            t = m.get_track(victim, k)
-            if t is None:
-                continue
-            if not (t.tag(TT_TRIANGULATED) or t.id in pending_ids):
-                continue
-            if require_valid and (not t.tag(TT_VALID) or t.inv_depth <= 0):
-                continue
-            anchor = frames_by_id.get(t.first_frame_id())
-            if anchor is None or not anchor.tag(FT_KEYFRAME):
-                continue
+        for k in np.flatnonzero(vsel):
+            t = m.tracks[int(victim.track_ids[k])]
+            aid = t.first_frame_id()
             tracks.append(t)
+            anchor = frames_by_id[aid]
             for fid, kk in t.obs.items():
                 if fid == anchor.id or fid not in fid_set:
                     continue
@@ -795,7 +931,7 @@ class SlidingWindowTracker:
                 k = t.obs.pop(victim.id)
                 victim.track_ids[k] = -1
                 if not t.obs:
-                    m.tracks.pop(t.id, None)
+                    m.erase_track(t)
                     continue
                 aid = t.first_frame_id()
                 if aid not in frames_by_id:
@@ -862,21 +998,26 @@ class SlidingWindowTracker:
                 sub = subs[i]
                 imu.append((prev, sub, (sub.imu_dt, sub.imu_w, sub.imu_a),
                             prev.bg.copy(), prev.ba.copy(), False))
+            from rd_vio_tpu.models.map import (
+                TB_STATIC, TB_TRIANGULATED, TB_VALID,
+            )
+
             last = subs[-1]
+            st = m.store
+            _, tr_sel, af_sel, rows_sel = self._select_tracks_of_frame(
+                last, TB_VALID, frames_by_id,
+            )
+            fl_sel = st.flags[rows_sel]
             reproj_prior = []
             rot = []
-            for k in range(last.keypoint_num):
-                t = m.get_track(last, k)
-                if t is None or not t.tag(TT_VALID):
-                    continue
-                anchor = frames_by_id.get(t.first_frame_id())
-                if anchor is None or anchor.id == last.id:
-                    continue
-                if t.tag(TT_TRIANGULATED):
-                    if t.tag(TT_STATIC):
-                        reproj_prior.append((last, anchor, t))
+            tri_b = (fl_sel & TB_TRIANGULATED) != 0
+            stat_b = (fl_sel & TB_STATIC) != 0
+            for t, aid, tri, stat in zip(tr_sel, af_sel, tri_b, stat_b):
+                if tri:
+                    if stat:
+                        reproj_prior.append((last, frames_by_id[int(aid)], t))
                 else:
-                    rot.append((last, anchor, t))
+                    rot.append((last, frames_by_id[int(aid)], t))
             spec = builders.BASpec(
                 frames=list(subs),
                 fix_pose=[False] * len(subs),
@@ -896,25 +1037,34 @@ class SlidingWindowTracker:
                 sub = subs[i]
                 imu.append((prev, sub, (sub.imu_dt, sub.imu_w, sub.imu_a),
                             prev.bg.copy(), prev.ba.copy(), False))
+            from rd_vio_tpu.models.map import (
+                TB_STATIC, TB_TRIANGULATED, TB_VALID,
+            )
+
             reproj = []
             reproj_prior = []
             opt_tracks = []
+            opt_seen = set()
+            bits = TB_VALID | TB_TRIANGULATED | TB_STATIC
+            kf_fids = np.fromiter(
+                (fid for fid, f in frames_by_id.items() if f.tag(FT_KEYFRAME)),
+                np.int64,
+            )
             for sub in subs:
-                for k in range(sub.keypoint_num):
-                    t = m.get_track(sub, k)
-                    if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED, TT_STATIC):
-                        continue
-                    anchor = frames_by_id.get(t.first_frame_id())
-                    if anchor is None or anchor.id == sub.id:
-                        continue
-                    if anchor.tag(FT_KEYFRAME):
-                        reproj_prior.append((sub, anchor, t))
-                    elif t.first_frame_id() > frame.id and anchor.id in sub_ids:
+                _, tr_sel, af_sel, _ = self._select_tracks_of_frame(
+                    sub, bits, frames_by_id,
+                )
+                from_kf = np.isin(af_sel, kf_fids)
+                for t, aid, kf_anchor in zip(tr_sel, af_sel, from_kf):
+                    if kf_anchor:
+                        reproj_prior.append((sub, frames_by_id[int(aid)], t))
+                    elif aid > frame.id and int(aid) in sub_ids:
                         # both target and anchor live in the subwindow: full
                         # factor with optimized depth (reference :434-438)
-                        if t not in opt_tracks:
+                        if t.id not in opt_seen:
+                            opt_seen.add(t.id)
                             opt_tracks.append(t)
-                        reproj.append((sub, anchor, t, False))
+                        reproj.append((sub, frames_by_id[int(aid)], t, False))
             spec = builders.BASpec(
                 frames=list(subs),
                 fix_pose=[False] * len(subs),
@@ -926,37 +1076,60 @@ class SlidingWindowTracker:
 
     def _solve_subwindow(self, spec, spec_loc, j_slot):
         """Dispatch the subwindow solve, fused with the pending localization
-        solve when one was captured — one device program. The result is NOT
-        fetched here: an async transfer starts immediately and drain_pending
-        applies it at the start of the next frame (zero blocking round trips
-        on this path when the transfer lands during the frame interval)."""
+        solve when one was captured — one device program, chained on the
+        previous solve's device-resident states (round-4 residency). The
+        result is NOT fetched synchronously: an async transfer refreshes the
+        host mirror one or two frames later (drain_pending), while the next
+        frame's solve reads the states device-to-device."""
         from rd_vio_tpu.utils.host import fetch_async
 
         it = self.config.solver_iteration_limit
         if spec_loc is not None:
+            prev_states, loc_ip_prev, sub_prev = None, -1, None
+            if self._dev_sub is not None:
+                prev_states, slot_of = self._dev_sub
+                # localize prior anchor = spec_loc.imu_prior[0]'s i-frame
+                anchor_i = spec_loc.imu_prior[0][0]
+                loc_ip_prev = slot_of.get(anchor_i.id, -1)
+                sub_prev = np.full(self.caps_fast.W, -1, np.int32)
+                for si, f in enumerate(spec.frames[: self.caps_fast.W]):
+                    sub_prev[si] = slot_of.get(f.id, -1)
             res, lm_slot = builders.solve_localize_subwindow(
                 spec_loc, spec, j_slot, self.calib, self.caps_fast,
                 dtype=self._fast_dtype, max_iterations=it,
+                prev_states=prev_states, loc_ip_prev=loc_ip_prev,
+                sub_prev=sub_prev,
             )
         else:
             res, lm_slot = builders.solve_spec(
                 spec, self.calib, self.caps_fast, dtype=self._fast_dtype,
                 max_iterations=it,
             )
-        self._pending_sub = (
-            fetch_async(builders.result_transfer_tree(res)), spec, lm_slot
+        self._dev_sub = (
+            res.states, {f.id: i for i, f in enumerate(spec.frames)}
+        )
+        self._pending_subs.append(
+            (fetch_async(builders.result_transfer_tree(res)), spec, lm_slot)
         )
 
-    def drain_pending(self):
-        """Apply the deferred subwindow result (no-op when none pending).
-        MUST run before anything reads or mutates the solved frame states:
-        the next frame's mirror/predict, keyframe surgery, checkpointing,
-        and final state reads all drain first."""
-        if self._pending_sub is None:
-            return
-        fut, spec, lm_slot = self._pending_sub
-        self._pending_sub = None
-        builders.apply_result_np(fut.wait(), spec, lm_slot)
+    def drain_pending(self, block: bool = True):
+        """Refresh the host mirror from deferred subwindow results, applying
+        them strictly in dispatch order.
+
+        block=True (keyframe path, checkpointing, final state reads) waits
+        for every in-flight result — afterwards the host mirror is exact.
+        block=False (the per-frame path) keeps exactly ONE result in flight:
+        with two queued, the older is applied (waiting if needed), so the
+        host mirror is deterministically one-to-two refinements stale —
+        never timing-dependent (a completion-based fast path would make
+        trajectories irreproducible; SURVEY §4.6 determinism). Solve
+        correctness does not depend on this mirror — the device chain
+        carries the fresh states (_dev_sub)."""
+        while self._pending_subs:
+            if not block and len(self._pending_subs) == 1:
+                return
+            fut, spec, lm_slot = self._pending_subs.pop(0)
+            builders.apply_result_np(fut.wait(), spec, lm_slot)
 
     # ------------------------------------------------------------------
     # IMU-PARSAC dynamic-object rejection (reference :557-769)
@@ -987,81 +1160,108 @@ class SlidingWindowTracker:
         return self._judge_decide(asm) if asm is not None else False
 
     def _judge_assemble(self):
-        """State-independent judge inputs: keypoint/landmark/bearing gathers.
-        Safe before the subwindow drain — the drain writes subframe poses
-        only, consumed later in _judge_decide's pose math. Returns None when
-        too few triangulated tracks are visible."""
+        """State-independent judge inputs: keypoint/bearing gathers and the
+        track selection. Safe before the subwindow drain — everything here is
+        a pure gather; the pose- and depth-dependent pieces (landmark world
+        points P3D, the fresh inv_depth gate) are computed post-drain in
+        _judge_decide (ADVICE r3: the drain also refreshes subwindow-anchored
+        inverse depths and subframe anchor poses, and the judge must vote on
+        landmark points consistent with the post-drain poses it uses for
+        Rcw/tcw). Returns None when too few triangulated tracks are visible."""
+        from rd_vio_tpu.models.map import TB_TRIANGULATED, TB_VALID
+
         m = self.map
+        st = m.store
         curr = m.get_frame(m.frame_num - 1)
         keyframe = m.get_frame(m.frame_num - 2)
 
         frames_by_id = {f.id: f for f in m.all_frames()}
-        Km = self.calib.K
         Ncap = self.caps.L
-        P2D = np.zeros((Ncap, 2))
-        P3D = np.zeros((Ncap, 3))
-        lens = np.zeros(Ncap)
-        valid = np.zeros(Ncap, bool)
-        kp_of_slot = {}
-        sel_tracks = []
-        n = 0
-        for k in range(curr.keypoint_num):
-            t = m.get_track(curr, k)
-            if t is None or not t.all_tagged(TT_VALID, TT_TRIANGULATED):
-                continue
-            if t.inv_depth <= 0 or t.first_frame_id() not in frames_by_id:
-                continue
-            if n >= Ncap:
-                # fail loudly at capacity (round-3 hygiene, mirrors the
-                # round-1 validation-overflow fix): silently dropping
-                # triangulated tracks skews the static/dynamic vote
-                logging.getLogger(__name__).warning(
-                    "judge_track_status: triangulated tracks exceed "
-                    "caps.L=%d; extra tracks ignored this frame "
-                    "(raise Caps.L)", Ncap,
-                )
-                break
-            b = curr.bearings[k]
-            P2D[n] = b[:2] / b[2]
-            lens[n] = max(t.life, 0)
-            kp_of_slot[n] = k
-            sel_tracks.append(t)
-            valid[n] = True
-            n += 1
+
+        # vectorized candidate selection over the SoA store (VERDICT r3
+        # item 3: this loop was ~10 ms of per-keypoint attribute lookups)
+        rows = st.rows_of(curr.track_ids)
+        ok = rows >= 0
+        r = np.clip(rows, 0, None)
+        bits = TB_VALID | TB_TRIANGULATED
+        fl = st.flags[r]
+        sel = ok & ((fl & bits) == bits) & (st.inv_depth[r] > 0)
+        sel &= np.isin(st.first_fid[r],
+                       np.fromiter(frames_by_id, np.int64,
+                                   len(frames_by_id)))
+        idxs = np.flatnonzero(sel)
+        if len(idxs) > Ncap:
+            # fail loudly at capacity (round-3 hygiene): silently dropping
+            # triangulated tracks skews the static/dynamic vote
+            logging.getLogger(__name__).warning(
+                "judge_track_status: triangulated tracks exceed caps.L=%d; "
+                "extra tracks ignored this frame (raise Caps.L)", Ncap,
+            )
+            idxs = idxs[:Ncap]
+        n = len(idxs)
         if n < 20:
             return None
-        P3D[:n] = builders.get_landmark_points_batch(
-            sel_tracks, frames_by_id, self.calib
-        )
 
-        # epipolar-pair gather (bearings; state-independent)
-        slots, bks, bcs = [], [], []
-        for s, k in kp_of_slot.items():
-            t = m.get_track(curr, k)
-            j = t.obs.get(keyframe.id)
-            if j is None:
-                continue
-            slots.append(s)
-            bks.append(keyframe.bearings[j])
-            bcs.append(curr.bearings[k])
-        if not slots:
+        P2D = np.zeros((Ncap, 2))
+        lens = np.zeros(Ncap)
+        valid = np.zeros(Ncap, bool)
+        bsel = curr.bearings[idxs]
+        P2D[:n] = bsel[:, :2] / bsel[:, 2:]
+        rows_sel = r[idxs]
+        lens[:n] = np.maximum(st.life[rows_sel], 0)
+        valid[:n] = True
+        sel_tracks = [m.tracks[int(tid)] for tid in curr.track_ids[idxs]]
+
+        # epipolar-pair gather: selected tracks also seen by the keyframe,
+        # via the keyframe's row->keypoint reverse map
+        k_of_row = np.full(st.cap, -1, np.int64)
+        kf_rows = st.rows_of(keyframe.track_ids)
+        kv = kf_rows >= 0
+        k_of_row[kf_rows[kv]] = np.flatnonzero(kv)
+        j_kf = k_of_row[rows_sel]
+        have = j_kf >= 0
+        slots = np.flatnonzero(have)
+        if len(slots) == 0:
             return None
-        return dict(curr=curr, keyframe=keyframe, P2D=P2D, P3D=P3D,
-                    lens=lens, valid=valid, kp_of_slot=kp_of_slot,
-                    slots=slots, bks=np.stack(bks), bcs=np.stack(bcs))
+        bks = keyframe.bearings[j_kf[have]]
+        bcs = bsel[have]
+        return dict(curr=curr, keyframe=keyframe, P2D=P2D, n_sel=n,
+                    sel_tracks=sel_tracks, frames_by_id=frames_by_id,
+                    lens=lens, valid=valid, kp_idxs=idxs, rows_sel=rows_sel,
+                    slots=slots, bks=bks, bcs=bcs)
 
     def _judge_decide(self, asm) -> bool:
         """Pose-dependent half of the judge: IMU prediction, IMU-PARSAC,
         epipolar-distance separation, tag writes (reference :557-718).
         Runs after the subwindow drain."""
         m = self.map
+        st = m.store
         cfg = self.config
         curr = asm["curr"]
         keyframe = asm["keyframe"]
-        P2D, P3D = asm["P2D"], asm["P3D"]
+        P2D = asm["P2D"]
         lens, valid = asm["lens"], asm["valid"]
-        kp_of_slot = asm["kp_of_slot"]
+        rows_sel = asm["rows_sel"]
         Km = self.calib.K
+
+        # landmark world points at the POST-drain poses/depths (ADVICE r3:
+        # the drain refreshes subwindow-anchored inv_depths and subframe
+        # anchor poses; computing P3D pre-drain would mix stale landmarks
+        # with fresh Rcw/tcw below). Tracks whose refreshed depth went
+        # non-positive drop out of the vote here.
+        sel_tracks = asm["sel_tracks"]
+        n_sel = asm["n_sel"]
+        frames_by_id = asm["frames_by_id"]
+        fresh = st.inv_depth[rows_sel] > 0
+        valid = valid.copy()
+        valid[:n_sel] &= fresh
+        P3D = np.zeros((self.caps.L, 3))
+        if fresh.any():
+            live = [t for t, f in zip(sel_tracks, fresh) if f]
+            pts = builders.get_landmark_points_batch(
+                live, frames_by_id, self.calib
+            )
+            P3D[: n_sel][fresh] = pts
 
         q_bc = self.calib.q_bc_h
         p_bc = self.calib.p_bc_h
@@ -1104,7 +1304,7 @@ class SlidingWindowTracker:
         E = _hat(t_rel) @ R
         F_mat = np.linalg.inv(Km).T @ E @ np.linalg.inv(Km)
 
-        slots = asm["slots"]
+        slots = np.asarray(asm["slots"])
         bks = asm["bks"]
         bcs = asm["bcs"]
         # pixel homogeneous coords + symmetric epipolar distances, vectorized
@@ -1125,7 +1325,7 @@ class SlidingWindowTracker:
             np.linalg.norm(l21[:, :2], axis=-1), 1e-12
         )
         errs = d12 + d21
-        in_mask = mask[np.asarray(slots)]
+        in_mask = mask[slots]
         in_d = errs[in_mask]
         out_d = errs[~in_mask]
 
@@ -1137,14 +1337,14 @@ class SlidingWindowTracker:
             return False
         self.m_th = (th1 + th2) / 2.0
 
-        for s, k in kp_of_slot.items():
-            t = m.get_track(curr, k)
-            if mask[s]:
-                t.set_tag(TT_OUTLIER, False)
-                t.set_tag(TT_STATIC, True)
-            else:
-                t.set_tag(TT_OUTLIER, True)
-                t.set_tag(TT_STATIC, False)
+        # vectorized tag writes over the SoA store (reference :702-715)
+        from rd_vio_tpu.models.map import TB_OUTLIER, TB_STATIC
+
+        msel = mask[: n_sel]
+        rin = rows_sel[msel]
+        rout = rows_sel[~msel]
+        st.flags[rin] = (st.flags[rin] | TB_STATIC) & ~TB_OUTLIER
+        st.flags[rout] = (st.flags[rout] | TB_OUTLIER) & ~TB_STATIC
         return True
 
     def update_track_status(self):
@@ -1162,6 +1362,7 @@ class SlidingWindowTracker:
                     old_frame = ft_map.get_frame(idx)
 
         Km = self.calib.K
+        st = m.store
         outlier_cnts = np.zeros(curr.keypoint_num, int)
         matches_cnts = np.zeros(curr.keypoint_num, int)
         start = max(m.frame_num - 1 - cfg.parsac_keyframe_check_size, 0)
@@ -1176,28 +1377,37 @@ class SlidingWindowTracker:
         VAL = np.zeros((Kc, Ncap), bool)
         EN = np.zeros(Kc, bool)
         kp_rows = [None] * Kc
+        # row -> curr-keypoint reverse map (vectorized match gather)
+        k_of_row = np.full(st.cap, -1, np.int64)
+        rows_c = st.rows_of(curr.track_ids)
+        cv = rows_c >= 0
+        k_of_row[rows_c[cv]] = np.flatnonzero(cv)
         for row, i in enumerate(range(start, m.frame_num - 1)):
             fi = m.get_frame(i)
-            pts1, pts2, kp_idx = [], [], []
-            for ki in range(fi.keypoint_num):
-                t = m.get_track(fi, ki)
-                if t is None:
-                    continue
-                kj = t.obs.get(curr.id)
-                if kj is None:
-                    continue
-                b1, b2 = fi.bearings[ki], curr.bearings[kj]
-                pts1.append(b1[:2] / b1[2])
-                pts2.append(b2[:2] / b2[2])
-                kp_idx.append(kj)
-            if len(pts1) < 10:
+            rows_i = st.rows_of(fi.track_ids)
+            kj = k_of_row[np.clip(rows_i, 0, None)]
+            msel = (rows_i >= 0) & (kj >= 0)
+            ki_idx = np.flatnonzero(msel)
+            if len(ki_idx) < 10:
                 continue
-            nn = min(len(pts1), Ncap)
-            P1[row, :nn] = asnp(pts1)[:nn]
-            P2[row, :nn] = asnp(pts2)[:nn]
+            if len(ki_idx) > Ncap:
+                # fail loudly at capacity: clamped matches skew the 2D-2D
+                # outlier vote for this keyframe check
+                logging.getLogger(__name__).warning(
+                    "update_track_status: %d matches vs keyframe %d exceed "
+                    "caps.L=%d; extra matches ignored (raise Caps.L)",
+                    len(ki_idx), fi.id, Ncap,
+                )
+                ki_idx = ki_idx[:Ncap]
+            kj_idx = kj[ki_idx]
+            b1 = fi.bearings[ki_idx]
+            b2 = curr.bearings[kj_idx]
+            nn = len(ki_idx)
+            P1[row, :nn] = b1[:, :2] / b1[:, 2:]
+            P2[row, :nn] = b2[:, :2] / b2[:, 2:]
             VAL[row, :nn] = True
             EN[row] = True
-            kp_rows[row] = np.asarray(kp_idx[:nn], int)
+            kp_rows[row] = kj_idx
         if not EN.any():
             pass
         else:
@@ -1230,21 +1440,34 @@ class SlidingWindowTracker:
                 np.add.at(matches_cnts, kp_idx, 1)
                 np.add.at(outlier_cnts, kp_idx[~mrow], 1)
 
+        # vectorized dynamic vote + sticky SWT<->FT propagation (the mirrored
+        # FT frame shares keypoint indices with curr: mirror_frame clones
+        # bearings, so SWT keypoint k == FT keypoint k)
+        from rd_vio_tpu.models.map import TB_STATIC
+
         outlier_th = m.frame_num // 2
-        for k in range(curr.keypoint_num):
-            t = m.get_track(curr, k)
-            if t is None:
-                continue
-            if outlier_cnts[k] > outlier_th / 2 and outlier_cnts[k] > 0.8 * matches_cnts[k]:
-                t.set_tag(TT_STATIC, False)
-            if old_frame is not None and ft_map is not None:
-                j = t.obs.get(old_frame.id)
-                # sticky propagation between SWT and FT tracks
-                if j is not None:
-                    ot = ft_map.get_track(old_frame, j)
-                    if ot is not None and (not ot.tag(TT_STATIC) or not t.tag(TT_STATIC)):
-                        t.set_tag(TT_STATIC, False)
-                        ot.set_tag(TT_STATIC, False)
+        dyn = (outlier_cnts > outlier_th / 2) \
+            & (outlier_cnts > 0.8 * matches_cnts)
+        has_t = rows_c >= 0
+        rc = np.clip(rows_c, 0, None)
+        clr = dyn & has_t
+        if old_frame is not None and ft_map is not None:
+            with ft_map.lock:
+                ft_st = ft_map.store
+                n_shared = min(len(curr.track_ids), len(old_frame.track_ids))
+                rows_ft = ft_st.rows_of(old_frame.track_ids[:n_shared])
+                has_ft = rows_ft >= 0
+                rf = np.clip(rows_ft, 0, None)
+                swt_dyn = (st.flags[rc[:n_shared]] & TB_STATIC) == 0
+                ft_dyn = (ft_st.flags[rf] & TB_STATIC) == 0
+                both = has_t[:n_shared] & has_ft
+                sticky = both & (
+                    ft_dyn | swt_dyn | clr[:n_shared]
+                )
+                ft_st.flags[rf[sticky]] &= ~TB_STATIC
+                clr = clr.copy()
+                clr[:n_shared] |= sticky
+        st.flags[rc[clr]] &= ~TB_STATIC
 
     # ------------------------------------------------------------------
     def get_latest_state(self):

@@ -89,6 +89,7 @@ def load_library():
         lib.rdvio_preintegrate_batch.argtypes = (
             [ctypes.c_longlong, ctypes.c_longlong] + [dptr] * 20
         )
+        lib.rdvio_predict_mean.argtypes = [ctypes.c_longlong] + [dptr] * 11
         _lib = lib
         return lib
 
@@ -120,6 +121,25 @@ def preintegrate_batch(dts, ws, accs, bg, ba, cov_w, cov_a, cov_bg, cov_ba):
         p_(out["dv_dbg"]), p_(out["dv_dba"]), p_(out["sqrt_inv_cov"]),
     )
     return out
+
+
+def predict_mean(q0, p0, v0, bg, ba, dts, ws, accs):
+    """Mean-only IMU propagation of one interval (native f64); returns
+    (q, p, v). Mirrors ops/preintegration_np.predict_frame_mean."""
+    lib = load_library()
+    c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+    dts, ws, accs = c(dts), c(ws), c(accs)
+    q0, p0, v0, bg, ba = c(q0), c(p0), c(v0), c(bg), c(ba)
+    q = np.zeros(4)
+    p = np.zeros(3)
+    v = np.zeros(3)
+    dp = ctypes.POINTER(ctypes.c_double)
+    p_ = lambda a: a.ctypes.data_as(dp)
+    lib.rdvio_predict_mean(
+        len(dts), p_(dts), p_(ws), p_(accs), p_(bg), p_(ba),
+        p_(q0), p_(p0), p_(v0), p_(q), p_(p), p_(v),
+    )
+    return q, p, v
 
 
 def available() -> bool:

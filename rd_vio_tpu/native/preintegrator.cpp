@@ -141,6 +141,52 @@ inline void tri_inverse_lower(const double* L, double* Li, int n) {
 
 extern "C" {
 
+// Mean-only integrate + gravity-aware predict (reference
+// preintegrator.cpp:22-76 mean rows + :102-112 predict), one interval.
+// dts (N); ws, accs (N, 3); bg, ba, p0, v0 (3); q0 (4) -> q, p, v out.
+// Replaces the per-sample Python loop in ops/preintegration_np (the
+// per-frame state prediction runs ~3x per frame on the host hot path).
+void rdvio_predict_mean(
+    long long N, const double* dts, const double* ws, const double* accs,
+    const double* bg, const double* ba, const double* q0, const double* p0,
+    const double* v0, double* q_out, double* p_out, double* v_out) {
+  double t = 0.0;
+  double dq[4] = {1, 0, 0, 0};
+  double dp[3] = {0, 0, 0};
+  double dv[3] = {0, 0, 0};
+  for (long long i = 0; i < N; ++i) {
+    double dt = dts[i];
+    if (dt == 0.0) continue;
+    double a[3] = {accs[i * 3] - ba[0], accs[i * 3 + 1] - ba[1],
+                   accs[i * 3 + 2] - ba[2]};
+    double qa[3];
+    quat_rotate(dq, a, qa);
+    for (int k = 0; k < 3; ++k) {
+      dp[k] += dt * dv[k] + 0.5 * dt * dt * qa[k];
+      dv[k] += dt * qa[k];
+    }
+    double wdt[3] = {(ws[i * 3] - bg[0]) * dt, (ws[i * 3 + 1] - bg[1]) * dt,
+                     (ws[i * 3 + 2] - bg[2]) * dt};
+    double eq[4], qn[4];
+    expmap(wdt, eq);
+    quat_mul(dq, eq, qn);
+    quat_normalize(qn);
+    for (int k = 0; k < 4; ++k) dq[k] = qn[k];
+    t += dt;
+  }
+  const double g[3] = {0.0, 0.0, -9.80665};
+  double rdv[3], rdp[3];
+  quat_rotate(q0, dv, rdv);
+  quat_rotate(q0, dp, rdp);
+  for (int k = 0; k < 3; ++k) {
+    v_out[k] = v0[k] + g[k] * t + rdv[k];
+    p_out[k] = p0[k] + 0.5 * g[k] * t * t + v0[k] * t + rdp[k];
+  }
+  quat_mul(q0, dq, q_out);
+  quat_normalize(q_out);
+}
+
+
 // All matrices row-major f64. Shapes:
 //   dts (F, N); ws, accs (F, N, 3); bg, ba (F, 3); cov_* (3, 3)
 //   t_out (F); q_out (F, 4); p_out, v_out (F, 3); cov_out (F, 15, 15)

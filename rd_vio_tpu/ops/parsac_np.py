@@ -253,10 +253,15 @@ def solve_pnp_dlt_np(x_world, p_norm):
 
 
 def pnp_reprojection_error_np(R_cw, t_cw, x_world, p_norm):
-    if R_cw.ndim == 3 and x_world.ndim in (2, 3):
-        # bank of K models vs shared N points: one (3K, 3) @ (3, N) BLAS GEMM
-        # (np.einsum lowers this to the slow c_einsum loop — see
-        # frontend_step_np._batched_apply; ~2.3 ms -> ~0.2 ms at K=128,N=256)
+    if R_cw.ndim == 3 and (
+        x_world.ndim == 2 or (x_world.ndim == 3 and x_world.shape[0] == 1)
+    ):
+        # bank of K models vs ONE shared point set: one (3K, 3) @ (3, N) BLAS
+        # GEMM (np.einsum lowers this to the slow c_einsum loop — see
+        # frontend_step_np._batched_apply; ~2.3 ms -> ~0.2 ms at K=128,N=256).
+        # Genuinely per-model point batches (leading dim > 1) fall through to
+        # the einsum branch (ADVICE r3: collapsing them here would silently
+        # score every model against model 0's points).
         K = R_cw.shape[0]
         pts = x_world[0] if x_world.ndim == 3 else x_world
         xc = (R_cw.reshape(3 * K, 3) @ pts.T).reshape(K, 3, -1)

@@ -85,8 +85,31 @@ def predict_mean(t, dq, dp, dv, q, p, v):
     return q_new, p_new, v_new
 
 
+def interval_rotation_mean(dts, ws, accs, bg, ba):
+    """Delta rotation quaternion of one IMU interval (native fast path:
+    predict_mean from the identity state — its q output IS the mean dq)."""
+    from rd_vio_tpu import native
+
+    if native.available():
+        q, _, _ = native.predict_mean(
+            np.array([1.0, 0, 0, 0]), np.zeros(3), np.zeros(3),
+            bg, ba, dts, ws, accs,
+        )
+        return q
+    _, dq, _, _ = integrate_mean(dts, ws, accs, bg, ba)
+    return dq
+
+
 def predict_frame_mean(q0, p0, v0, bg, ba, dts, ws, accs):
-    """integrate_mean + predict_mean in one call; returns (q, p, v)."""
+    """integrate_mean + predict_mean in one call; returns (q, p, v).
+
+    Uses the native C++ integrator when available (~20 us vs ~1.5 ms for the
+    per-sample Python loop; this runs ~3x per frame on the host hot path),
+    with this module's loop as the oracle/fallback."""
+    from rd_vio_tpu import native
+
+    if native.available():
+        return native.predict_mean(q0, p0, v0, bg, ba, dts, ws, accs)
     t, dq, dp, dv = integrate_mean(dts, ws, accs, bg, ba)
     return predict_mean(t, dq, dp, dv, q0, p0, v0)
 

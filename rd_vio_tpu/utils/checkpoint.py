@@ -96,8 +96,7 @@ def load_tracker(path: str, config, calib, caps):
         m.attach_frame(f)
 
     for meta in json.loads(str(d["tracks_json"])):
-        t = Track()
-        t.id = int(meta["id"])
+        t = Track(m.store, tid=int(meta["id"]))
         t.obs = {int(k): int(v) for k, v in meta["obs"].items()}
         t.inv_depth = meta["inv_depth"]
         t.life = meta["life"]

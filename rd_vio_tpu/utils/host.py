@@ -63,6 +63,10 @@ class AsyncFetch:
     def wait(self):
         return self._future.result()
 
+    def done(self) -> bool:
+        """True when the transfer has landed (wait() would not block)."""
+        return self._future.done()
+
 
 def fetch_async(tree) -> AsyncFetch:
     """Start fetching a pytree without blocking; .wait() yields numpy."""

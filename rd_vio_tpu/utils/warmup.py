@@ -114,17 +114,28 @@ def warmup_image_programs(backend, width: int, height: int,
                                      float(min_dist))
 
 
-def start_warmup_thread(config, caps, duration: float = 6.0) -> threading.Thread:
+def start_warmup_thread(config, caps, duration: float = 6.0,
+                        extra_configs=()) -> threading.Thread:
     """Fire-and-forget warmup on a daemon thread. Call right after
-    constructing the real pipeline; join() is optional (the thread only
-    compiles/caches, it owns no shared state)."""
+    constructing the real pipeline; join() it (with a timeout) before
+    throughput-sensitive phases — a mid-phase trace/compile stall costs more
+    than the wait. `extra_configs`: additional Config objects whose program
+    signatures differ (e.g. the light profile: `caps_fast` shapes follow
+    sliding_window_subframe_size, so each subframe-size value is its own set
+    of jitted programs — VERDICT r3 item 6)."""
 
     def run():
-        try:
-            ok = warmup_solver_programs(config, caps, duration=duration)
-            log.info("solver warmup finished (tracked=%s)", ok)
-        except Exception:  # noqa: BLE001 — warmup must never kill the host app
-            log.warning("solver warmup failed", exc_info=True)
+        import sys
+        import time as _time
+
+        for i, cfg in enumerate((config, *extra_configs)):
+            try:
+                t0 = _time.time()
+                ok = warmup_solver_programs(cfg, caps, duration=duration)
+                print(f"[warmup] config {i} done in {_time.time() - t0:.0f}s "
+                      f"(tracked={ok})", file=sys.stderr, flush=True)
+            except Exception:  # noqa: BLE001 — must never kill the host app
+                log.warning("solver warmup failed", exc_info=True)
 
     th = threading.Thread(target=run, name="rdvio-warmup", daemon=True)
     th.start()

@@ -20,6 +20,15 @@ import jax
 # overriding the env var — override it back before any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE on full-suite runs: jaxlib 0.9's CPU backend segfaults
+# INTERMITTENTLY in long many-compile processes (observed in both
+# `put_executable_and_time` serialization and `backend_compile_and_load`
+# itself, each after ~55 tests of one `pytest tests/` process; single-file
+# runs are stable). This is an upstream flakiness, not a test bug — run the
+# suite through scripts/run_tests.py, which batches test files into separate
+# processes (bounding the per-process compile count) and retries a crashed
+# batch once; the persistent compile cache makes retries cheap.
+
 import numpy as np
 import pytest
 

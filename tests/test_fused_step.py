@@ -21,28 +21,64 @@ def test_fused_matches_sequential(monkeypatch):
     orig = builders.solve_localize_subwindow
 
     def spy(spec_loc, spec_sub, j_slot, calib, caps, dtype=None,
-            max_iterations=10):
+            max_iterations=10, prev_states=None, loc_ip_prev=-1,
+            sub_prev=None):
         res, lm_slot = orig(spec_loc, spec_sub, j_slot, calib, caps,
-                            dtype=dtype, max_iterations=max_iterations)
+                            dtype=dtype, max_iterations=max_iterations,
+                            prev_states=prev_states, loc_ip_prev=loc_ip_prev,
+                            sub_prev=sub_prev)
         if len(captured) < 4:
-            # sequential reference: standalone localize, push the solved
-            # state into the subwindow problem through the host, re-solve
-            res_loc, _ = builders.solve_spec(
-                spec_loc, calib, caps, dtype=dtype,
-                max_iterations=max_iterations,
-            )
-            sl = jax.device_get(res_loc.states)
-            fj = spec_sub.frames[j_slot]
-            saved = (fj.q, fj.p, fj.v, fj.bg, fj.ba)
-            fj.q, fj.p, fj.v = sl.q[0], sl.p[0], sl.v[0]
-            fj.bg, fj.ba = sl.bg[0], sl.ba[0]
+            # sequential reference: replicate the device-resident chaining
+            # through the HOST (write prev states into the frame objects),
+            # then standalone localize -> host round trip -> subwindow solve
+            saved_states = {}
+
+            def _save(f):
+                if f.id not in saved_states:
+                    saved_states[f.id] = (f.q, f.p, f.v, f.bg, f.ba)
+
+            ph = jax.device_get(prev_states) if prev_states is not None \
+                else None
+            anchor = spec_loc.imu_prior[0][0]
+            fj_loc = spec_loc.frames[0]
+            if ph is not None and loc_ip_prev >= 0:
+                _save(anchor)
+                _save(fj_loc)
+                anchor.q = np.asarray(ph.q[loc_ip_prev], np.float64)
+                anchor.p = np.asarray(ph.p[loc_ip_prev], np.float64)
+                anchor.v = np.asarray(ph.v[loc_ip_prev], np.float64)
+                builders.predict_frame(anchor, fj_loc, calib, caps.IMU)
+            if ph is not None and sub_prev is not None:
+                for si, f in enumerate(spec_sub.frames):
+                    sp = int(sub_prev[si])
+                    if sp >= 0:
+                        _save(f)
+                        f.q = np.asarray(ph.q[sp], np.float64)
+                        f.p = np.asarray(ph.p[sp], np.float64)
+                        f.v = np.asarray(ph.v[sp], np.float64)
+                        f.bg = np.asarray(ph.bg[sp], np.float64)
+                        f.ba = np.asarray(ph.ba[sp], np.float64)
             try:
+                res_loc, _ = builders.solve_spec(
+                    spec_loc, calib, caps, dtype=dtype,
+                    max_iterations=max_iterations,
+                )
+                sl = jax.device_get(res_loc.states)
+                fj = spec_sub.frames[j_slot]
+                _save(fj)
+                fj.q, fj.p, fj.v = sl.q[0], sl.p[0], sl.v[0]
+                fj.bg, fj.ba = sl.bg[0], sl.ba[0]
                 res_seq, _ = builders.solve_spec(
                     spec_sub, calib, caps, dtype=dtype,
                     max_iterations=max_iterations,
                 )
             finally:
-                fj.q, fj.p, fj.v, fj.bg, fj.ba = saved
+                by_id = {f.id: f for f in spec_sub.frames}
+                by_id[anchor.id] = anchor
+                by_id[fj_loc.id] = fj_loc
+                for fid, s in saved_states.items():
+                    f = by_id[fid]
+                    f.q, f.p, f.v, f.bg, f.ba = s
             captured.append((jax.device_get(res.states),
                              jax.device_get(res_seq.states),
                              len(spec_sub.frames)))
