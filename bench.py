@@ -170,10 +170,16 @@ def worker(argv):
 
     # persistent compilation cache: the pipeline's fused programs take minutes
     # of host-CPU XLA compile on first run; caching them on disk makes every
-    # subsequent bench (same shapes/config) start in seconds
+    # subsequent bench (same shapes/config) start in seconds. The directory is
+    # scoped per host-CPU feature set (VERDICT r3 item 5: a flat cache written
+    # on an AVX-512 host SIGILLs when its AOT CPU code loads elsewhere).
     if "--no-cache" not in argv:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
+        from rd_vio_tpu import cache_dir_for_host
+
+        cache_dir = cache_dir_for_host(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+        )
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
@@ -257,11 +263,24 @@ def worker(argv):
 
     # kick steady-state solver compiles off NOW, overlapped with rendering +
     # the initializer phase (VERDICT r02 item 4: the keyframe-fused programs
-    # otherwise compile inline at the first keyframe, stalling the pipeline)
+    # otherwise compile inline at the first keyframe, stalling the pipeline).
+    # Covers BOTH config profiles (VERDICT r3 item 6: caps_fast shapes follow
+    # sliding_window_subframe_size, so the light profile is a separate
+    # program set); joined before phase 1 so no trace/compile lands mid-phase
+    warmup_th = None
     if "--no-warmup" not in argv:
         from rd_vio_tpu.utils.warmup import start_warmup_thread
 
-        start_warmup_thread(make_config(light="--light" in argv), CAPS)
+        extra = () if "--light" in argv else (make_config(light=True),)
+        warmup_th = start_warmup_thread(
+            make_config(light="--light" in argv), CAPS, extra_configs=extra)
+
+    # capture one live argument set per steady-state device program for the
+    # post-run duty-cycle calibration (utils/device_time; VERDICT r3 item 4)
+    from rd_vio_tpu.utils import device_time
+
+    device_time.CAPTURE = True
+    phase_stats = {}
 
     def run_pipeline(tag, cfg, seq, backend, frame_arg):
         """Drive one full ingest; returns (fps, ate, tracked, diag)."""
@@ -355,10 +374,15 @@ def worker(argv):
         print(f"[bench:{tag}] total wall {t_end - t0:.1f}s, frames "
               f"{n_frames}, tracked {frames_tracked}, fps {fps:.2f}, "
               f"ATE {ate:.4f} m", file=sys.stderr, flush=True)
-        for stage, st in sorted(GLOBAL_TIMER.stats().items()):
+        stats = GLOBAL_TIMER.stats()
+        for stage, st in sorted(stats.items()):
             print(f"[bench:{tag}] stage {stage}: mean {st['mean_ms']:.1f} ms "
                   f"p50 {st['p50_ms']:.1f} p90 {st['p90_ms']:.1f} "
                   f"(n={st['n']})", file=sys.stderr, flush=True)
+        phase_stats[tag] = {
+            "stages": {k: dict(v) for k, v in stats.items()},
+            "frames": n_frames, "fps": float(fps),
+        }
         GLOBAL_TIMER.reset()
         return float(fps), float(ate), frames_tracked, diag
 
@@ -404,6 +428,13 @@ def worker(argv):
                             num_hypotheses=cfg.ransac_hypotheses),
                 daemon=True,
             ).start()
+        if warmup_th is not None:
+            # a trace/compile stall inside the measured phase costs far more
+            # fps than this wait (the warmup shadow runs the same programs)
+            t_w = time.perf_counter()
+            warmup_th.join(timeout=600)
+            print(f"[bench] waited {time.perf_counter() - t_w:.0f}s for "
+                  f"warmup before phase 1", file=sys.stderr, flush=True)
         real_fps, real_ate, n_tr, d = run_pipeline(
             "real", cfg, seq_r, backend, lambda i: frames[i])
         diag = diag or d
@@ -441,6 +472,98 @@ def worker(argv):
         except Exception as e:  # noqa: BLE001
             print(f"[bench] light phase failed: {e}", file=sys.stderr,
                   flush=True)
+
+    # --- phase 4: concurrent-sequence aggregate frames/s/chip -------------
+    # (VERDICT r3 item 2 / SURVEY §5 axis (d)): the chip idles most of each
+    # frame on a single sequence, so aggregate throughput over N independent
+    # sequences is the honest frames/s/chip number. Shared executables; each
+    # sequence runs synchronously on its own thread (utils/batch_eval).
+    if "--skip-batch" not in argv and not watchdog["fired"]:
+        try:
+            from rd_vio_tpu.utils import batch_eval
+
+            def _events(seq):
+                ev = sorted(
+                    [(t, 1, i) for i, t in enumerate(seq.t_imu)]
+                    + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
+                )
+                return [
+                    ("imu", t, seq.gyro[i], seq.accel[i]) if k == 1
+                    else ("frame", t, i)
+                    for t, k, i in ev
+                ]
+
+            N_CONC = 4
+            jobs = []
+            for s_i in range(N_CONC):
+                cfg_b = make_config(light="--light" in argv)
+                seq_b = synthetic.generate(
+                    duration=8.0, n_landmarks=1200, max_keypoints=150,
+                    seed=648 + 7 * s_i,
+                )
+                cfg_b.camera_intrinsic = seq_b.K_mat
+
+                def mk(cfg_b=cfg_b):
+                    return Odometry(cfg_b, SyntheticBackend(seq_b),
+                                    caps=CAPS, threaded=False)
+
+                jobs.append((f"seq{s_i}", mk, _events(seq_b), None))
+            from rd_vio_tpu.utils.metrics import StageTimer
+
+            t0b = time.perf_counter()
+            with StageTimer.suppressed():
+                results = batch_eval.run_batch(jobs, parallel=True,
+                                               max_workers=N_CONC)
+            wall_b = time.perf_counter() - t0b
+            tot_frames = sum(r.n_frames for r in results.values())
+            batch_fps = tot_frames / max(wall_b, 1e-9)
+            extra["batch_sequences"] = N_CONC
+            extra["batch_fps_per_chip"] = round(batch_fps, 3)
+            print(f"[bench:batch] N={N_CONC} sequences, {tot_frames} frames "
+                  f"in {wall_b:.1f}s -> {batch_fps:.2f} frames/s/chip "
+                  f"aggregate", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] batch phase failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # --- duty-cycle calibration (VERDICT r3 item 4) -----------------------
+    # chained in-program scans measure pure device ms per steady-state
+    # program; combined with per-phase program counts this yields
+    # device_busy_ms_per_frame and duty_cycle per phase.
+    if "--skip-duty" not in argv:
+        try:
+            prog_ms = device_time.measure_all()
+            if prog_ms:
+                print(f"[bench] device program times (chained): "
+                      f"{ {k: round(v, 2) for k, v in prog_ms.items()} }",
+                      file=sys.stderr, flush=True)
+                extra["device_program_ms"] = {
+                    k: round(v, 3) for k, v in prog_ms.items()
+                }
+            for tag in ("real", "synthetic"):
+                ps = phase_stats.get(tag)
+                if not ps or not prog_ms:
+                    continue
+                n_of = lambda key: ps["stages"].get(key, {}).get("n", 0)
+                busy = (
+                    prog_ms.get("ft_loop", 0.0) * n_of("ft.dispatch")
+                    + prog_ms.get("subwindow", 0.0)
+                    * n_of("swt.subwindow_fused")
+                    + prog_ms.get("keyframe", 0.0)
+                    * n_of("swt.keyframe_fused")
+                )
+                frames = max(ps["frames"], 1)
+                busy_per_frame = busy / frames
+                duty = busy_per_frame * ps["fps"] / 1000.0
+                extra[f"{tag}_device_busy_ms_per_frame"] = round(
+                    busy_per_frame, 3)
+                extra[f"{tag}_duty_cycle"] = round(duty, 4)
+                print(f"[bench:{tag}] device busy {busy_per_frame:.1f} "
+                      f"ms/frame, duty cycle {duty:.1%}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] duty calibration failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
     if hasattr(signal, "SIGALRM"):
         signal.alarm(0)  # measurement done; don't interrupt reporting

@@ -25,14 +25,51 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+
+def host_cache_fingerprint() -> str:
+    """Short fingerprint of the host CPU's code-generation-relevant features.
+
+    The persistent JAX compilation cache stores AOT-compiled CPU code; an
+    executable compiled on an AVX-512/AMX host SIGILLs when loaded on a host
+    without those features (the XLA loader itself warns about this). Keying
+    the cache directory on the feature set makes a stale cache degrade to a
+    recompile, never to a crash (VERDICT r3 item 5)."""
+    import hashlib
+    import platform
+
+    feats = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags") or line.startswith("Features"):
+                    toks = line.split(":", 1)[1].split()
+                    feats = sorted(
+                        t for t in toks
+                        if t.startswith(("avx", "amx", "sse4", "fma",
+                                         "f16c", "vnni", "asimd", "sve"))
+                    )
+                    break
+    except OSError:
+        pass
+    raw = platform.machine() + ":" + ",".join(feats)
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
+def cache_dir_for_host(base: str) -> str:
+    """Host-feature-scoped subdirectory of a compile-cache base dir."""
+    return _os.path.join(base, "host-" + host_cache_fingerprint())
+
+
 # Persistent compilation cache: the f64 estimation programs are expensive to
 # compile (notably through remote-compile TPU setups); cache them across
-# processes so only the first run pays.
+# processes so only the first run pays. The directory is scoped by the host
+# CPU feature fingerprint (see host_cache_fingerprint).
 if not _jax.config.jax_compilation_cache_dir:
     _cache_dir = _os.environ.get(
         "RD_VIO_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/jax_rdvio")
     )
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_compilation_cache_dir",
+                       cache_dir_for_host(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"

@@ -30,6 +30,53 @@ class SlimeVrClient:
         self.sock.setblocking(False)
         self.packet_id = 0
         self._last_heartbeat = 0.0
+        self.connected = False
+
+    def discover_server(self, device_id: int = 0, timeout: float = 5.0,
+                        broadcast_host: str = "255.255.255.255") -> bool:
+        """Broadcast-discover the SlimeVR server (reference
+        slime.cpp:196-275 slimeDiscoverServer): bind a stable local port
+        (9185 + device_id, so the server can re-associate the tracker after
+        restarts), broadcast a handshake to <broadcast>:6969, and wait up to
+        `timeout` s for the server's `PACKET_HANDSHAKE` + "Hey OVR =D 5"
+        response; on success all subsequent packets go directly to the
+        responding address."""
+        if self.connected:
+            return True
+        try:
+            self.sock.bind(("", 9185 + device_id))
+        except OSError:
+            pass  # best-effort, like the reference (a failed bind only
+            # risks reconnect trouble)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
+        self.sock.settimeout(timeout)
+        try:
+            # handshake payload matching slime.cpp:227-241 (packet number 0,
+            # zeroed board/imu/mcu fields, build 1, short firmware string,
+            # 6-byte pseudo-mac derived from device_id)
+            mac = bytes([255, device_id & 0xFF, device_id % 2, 120, 125, 0])
+            fw = b"UWUFirmware"
+            payload = (
+                struct.pack(">IQ", HANDSHAKE, 0)
+                + struct.pack(">IIIIIII", 0, 0, 0, 0, 0, 0, 1)
+                + bytes([len(fw)]) + fw + mac
+            )
+            self.sock.sendto(payload, (broadcast_host, self.addr[1]))
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                try:
+                    data, addr = self.sock.recvfrom(1024)
+                except (socket.timeout, OSError):
+                    return False
+                if len(data) >= 13 and data[0] == HANDSHAKE \
+                        and data[1:13] == b"Hey OVR =D 5":
+                    self.addr = addr
+                    self.connected = True
+                    return True
+            return False
+        finally:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 0)
+            self.sock.setblocking(False)
 
     def _send(self, ptype: int, payload: bytes = b""):
         msg = struct.pack(">IQ", ptype, self.packet_id) + payload

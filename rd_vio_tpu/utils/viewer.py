@@ -1,19 +1,141 @@
 """Trajectory/map visualization — headless replacement for the reference's
-Pangolin viewer (reference examples/pviz.hpp: trajectory, keyframes, point
-cloud, image topics).
+viewer (reference examples/pviz.hpp).
 
-Renders to PNG/HTML files instead of an interactive window (no display in TPU
-environments). Uses matplotlib when available, else writes a standalone HTML
-canvas plot.
+The `Viewer` class mirrors pviz.hpp's full topic API — trajectory
+(pviz.hpp:142-151), keyframes (:158-168), global point cloud (:171-180),
+local point cloud (:183-188), extra image topics (:191-193) — and renders the
+accumulated state to PNG/HTML files instead of a window (no display in TPU
+environments). Note the reference's own Viewer is a visualization-REMOVED
+stub ("simplified version without visualization", pviz.hpp:112-121): its
+keyframe/point-cloud/image methods are empty compatibility no-ops and
+publish_trajectory prints positions to stdout. This implementation keeps the
+same API surface but gives every topic real (headless-rendered) behavior.
+
+Uses matplotlib when available, else writes a standalone HTML canvas plot.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Optional
+from typing import Dict, List, Optional
 
 import numpy as np
+
+
+class Viewer:
+    """Headless topic-accumulating viewer with the pviz.hpp API."""
+
+    def __init__(self, title: str = "rd_vio_tpu", out_dir: str = "viz"):
+        self.title = title
+        self.out_dir = out_dir
+        self.trajectory: List[np.ndarray] = []  # camera positions (Twc)
+        self.keyframes: Dict[int, np.ndarray] = {}  # id -> 4x4 Twc
+        self.global_points: Dict[int, np.ndarray] = {}  # id -> (3,)
+        self.local_points: np.ndarray = np.zeros((0, 3))
+        self._topic_counter: Dict[str, int] = {}
+
+    # -- trajectory (pviz.hpp:142-151) --
+    def publish_trajectory(self, T_or_R, t=None):
+        if t is None:
+            T = np.asarray(T_or_R)
+            self.trajectory.append(T[:3, 3].copy())
+        else:
+            self.trajectory.append(np.asarray(t, float).copy())
+
+    # -- keyframes (pviz.hpp:158-168) --
+    def publish_keyframe(self, kf_id: int, Twc: np.ndarray):
+        self.keyframes[int(kf_id)] = np.asarray(Twc, float).copy()
+
+    def remove_keyframe(self, kf_id: int):
+        self.keyframes.pop(int(kf_id), None)
+
+    def remove_keyframes(self):
+        self.keyframes.clear()
+
+    # -- global map (pviz.hpp:171-180) --
+    def publish_global_point_cloud(self, pt_id: int, point):
+        self.global_points[int(pt_id)] = np.asarray(point, float).copy()
+
+    def remove_global_point_cloud(self, pt_id: int):
+        self.global_points.pop(int(pt_id), None)
+
+    def remove_global_point_clouds(self):
+        self.global_points.clear()
+
+    # -- local map (pviz.hpp:183-188) --
+    def publish_local_point_cloud(self, points, copy: bool = False):
+        pts = np.asarray(points, float).reshape(-1, 3)
+        self.local_points = pts.copy() if copy else pts
+
+    def remove_local_point_cloud(self):
+        self.local_points = np.zeros((0, 3))
+
+    # -- extra image topics (pviz.hpp:191-193) --
+    def publish_topic(self, topic: str, img: np.ndarray):
+        """Save an image topic frame under out_dir/<topic>/NNNN.png."""
+        os.makedirs(os.path.join(self.out_dir, topic), exist_ok=True)
+        n = self._topic_counter.get(topic, 0)
+        self._topic_counter[topic] = n + 1
+        path = os.path.join(self.out_dir, topic, f"{n:05d}.png")
+        arr = np.asarray(img)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.imsave(path, arr, cmap="gray" if arr.ndim == 2 else None)
+        except Exception:
+            np.save(os.path.splitext(path)[0] + ".npy", arr)
+        return path
+
+    # -- rendering --
+    def render(self, path: str):
+        """Render trajectory + keyframe poses + local/global clouds to one
+        top-down plot (PNG, or HTML canvas fallback)."""
+        est = (np.stack(self.trajectory)
+               if self.trajectory else np.zeros((0, 3)))
+        gmap = (np.stack(list(self.global_points.values()))
+                if self.global_points else None)
+        lmap = self.local_points if len(self.local_points) else None
+        kfs = list(self.keyframes.values())
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(8, 8))
+            if gmap is not None:
+                ax.scatter(gmap[:, 0], gmap[:, 1], s=2, c="#646464",
+                           alpha=0.5, label="global map")
+            if lmap is not None:
+                ax.scatter(lmap[:, 0], lmap[:, 1], s=3, c="#1da81d",
+                           alpha=0.8, label="local map")
+            if len(est):
+                ax.plot(est[:, 0], est[:, 1], "-", c="#0000ff", lw=1.5,
+                        label="trajectory")
+            for T in kfs:
+                # keyframe pose: position + viewing-direction whisker
+                # (pviz axes_size=0.12, kf color red)
+                p = T[:3, 3]
+                d = T[:3, :3] @ np.array([0.0, 0.0, 0.12])
+                ax.plot([p[0], p[0] + d[0]], [p[1], p[1] + d[1]],
+                        "-", c="#ff0000", lw=1.0)
+                ax.plot([p[0]], [p[1]], ".", c="#ff0000", ms=4)
+            ax.set_aspect("equal")
+            ax.set_xlabel("x [m]")
+            ax.set_ylabel("y [m]")
+            ax.set_title(self.title)
+            if len(est) or kfs or gmap is not None or lmap is not None:
+                ax.legend(loc="best", fontsize=8)
+            fig.tight_layout()
+            fig.savefig(path, dpi=120)
+            plt.close(fig)
+            return path
+        except Exception:
+            return save_trajectory_plot(path, est, None, lmap, self.title)
 
 
 def save_trajectory_plot(
