@@ -175,6 +175,12 @@ class Config:
     # with device pyramids (JaxImageBackend); False restores the per-frame
     # dispatch+fetch path
     feature_tracker_device_loop: bool = True
+    # in-flight pairs of the device loop before a blocking finalize: each
+    # async result fetch gets this many frame intervals to land (depth 2
+    # keeps the ~25 ms tunnel round trip off the critical path once the
+    # optimizer stage outruns one frame interval); frames reach the
+    # optimizer depth-1 frames later, throughput unchanged
+    feature_tracker_pipeline_depth: int = 2
     # initializer essential hypotheses: False = batched 8-point (device,
     # ops/epipolar), True = Nistér 5-point host solve (ops/essential5; the
     # reference's essential.cpp:9-218 path). A/B: scripts/ab_essential.py —

@@ -112,7 +112,16 @@ class FeatureTracker:
             and getattr(backend, "supports_device_loop", False)
         )
         self._dl_state = None  # FTLoopState (device)
-        self._dl_pending = None  # (fetch_handles, frame, last)
+        # FIFO of in-flight (fetch_handles, frame, last) pairs. Depth 2
+        # (config.feature_tracker_pipeline_depth) gives each async fetch TWO
+        # frame intervals to land before its finalize: one interval is not
+        # enough once stage 2 is fast (the fetch completes at dispatch +
+        # device-queue + ~25 ms tunnel RTT), and a blocking finalize puts
+        # the round trip straight back on the critical path. Cost: frames
+        # reach the optimizer one extra frame late (throughput unchanged).
+        self._dl_pending = []
+        self._dl_depth = int(getattr(config,
+                                     "feature_tracker_pipeline_depth", 2))
         self._dl_slot_kp = np.full(self.KP_CAP, -1, np.int32)
         self._dl_drop = np.zeros(self.KP_CAP, bool)
 
@@ -193,7 +202,7 @@ class FeatureTracker:
                     if self.map.frame_num else None)
 
         done = None
-        if self._dl_pending is not None:
+        if len(self._dl_pending) >= self._dl_depth:
             with T.time("ft.finalize"):
                 done = self._dl_finalize()
 
@@ -259,18 +268,19 @@ class FeatureTracker:
                 kwargs=step_kwargs,
             )
         self._dl_state = state
-        # start the device->host copy NOW: by the time the next frame arrives
-        # (finalize), the ~25 ms tunnel round trip has already happened
+        # start the device->host copy NOW: by the time this pair's finalize
+        # runs (pipeline-depth frames later), the device program and the
+        # ~25 ms tunnel round trip have already happened
         from rd_vio_tpu.utils.host import fetch_async
 
-        self._dl_pending = (fetch_async(fetch), frame, last)
+        self._dl_pending.append((fetch_async(fetch), frame, last))
 
     def _dl_finalize(self) -> Optional[Frame]:
-        """Fetch + host bookkeeping for the in-flight pair: append keypoints
-        to the pair's new frame, extend track links, set the pure-rotation
-        tag, and compute the retired-slot mask for the next dispatch."""
-        fetch, frame, last = self._dl_pending
-        self._dl_pending = None
+        """Fetch + host bookkeeping for the OLDEST in-flight pair: append
+        keypoints to the pair's new frame, extend track links, set the
+        pure-rotation tag, and compute the retired-slot mask for the next
+        dispatch."""
+        fetch, frame, last = self._dl_pending.pop(0)
         out = fetch.wait()
         cfg = self.config
 
@@ -307,13 +317,14 @@ class FeatureTracker:
         return frame
 
     def flush(self):
-        """Finalize + issue the in-flight device-loop pair (sequence end or
-        pipeline drain). No-op outside device-loop mode."""
-        if not self.device_loop or self._dl_pending is None:
+        """Finalize + issue ALL in-flight device-loop pairs in order
+        (sequence end or pipeline drain). No-op outside device-loop mode."""
+        if not self.device_loop:
             return
-        done = self._dl_finalize()
-        if done is not None and self.frontend is not None:
-            self.frontend.issue_frame(done)
+        while self._dl_pending:
+            done = self._dl_finalize()
+            if done is not None and self.frontend is not None:
+                self.frontend.issue_frame(done)
 
     def refresh_from_optimized(self):
         """Called by the frontend right after it publishes a new optimized
