@@ -34,11 +34,15 @@ _FETCH_POOL: Optional[concurrent.futures.ThreadPoolExecutor] = None
 def _fetch_pool() -> concurrent.futures.ThreadPoolExecutor:
     global _FETCH_POOL
     if _FETCH_POOL is None:
-        # 2 workers: the feature-tracker stage and the optimizer stage each
-        # keep one async fetch in flight; a single worker would serialize
-        # them (~25 ms tunnel round trip each)
+        # 8 workers: tunnel round trips OVERLAP (measured round 4: N
+        # concurrent device_gets complete in ~one 25 ms RTT total), so the
+        # pool must never be the serializer. The depth-2 frontend FIFO plus
+        # the estimator FIFO plus keyframe extras keep up to ~5 fetches in
+        # flight; with only 2 workers the later fetches queued for a full
+        # RTT behind the earlier ones and the wait landed back on the
+        # critical path.
         _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="rdvio-fetch"
+            max_workers=8, thread_name_prefix="rdvio-fetch"
         )
     return _FETCH_POOL
 
