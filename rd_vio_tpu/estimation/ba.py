@@ -414,10 +414,16 @@ def solve_ba(states: FrameStates, inv_depth, pb: BAProblem, max_iterations: int 
         # Ceres-default convergence tests (the reference leaves them at the
         # defaults, solver.cpp:180-194): function_tolerance 1e-6 on the
         # relative decrease of an accepted step, parameter_tolerance 1e-8 on
-        # the step size
+        # the step size. Additionally: a REJECTED step whose cost change sits
+        # at the dtype's noise floor means the solve is converged to
+        # precision — without this, f32 solves at their noise floor keep
+        # rejecting ~zero-change steps until the iteration budget is gone
+        # (1e-6 < 10*eps(f32), so the accepted-step test can never fire)
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, jnp.finfo(dtype).tiny)
         step_small = jnp.max(jnp.abs(dc)) < 1e-8
-        done = (accept & (rel_decrease < 1e-6)) | step_small
+        at_noise_floor = jnp.abs(rel_decrease) < 10 * jnp.finfo(dtype).eps
+        done = (accept & (rel_decrease < 1e-6)) | step_small \
+            | (~accept & at_noise_floor)
         s = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), s, s_new)
         invd = jnp.where(accept, invd_new, invd)
         cost = jnp.where(accept, new_cost, cost)

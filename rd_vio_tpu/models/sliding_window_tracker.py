@@ -1249,6 +1249,8 @@ class SlidingWindowTracker:
         # anchor poses; computing P3D pre-drain would mix stale landmarks
         # with fresh Rcw/tcw below). Tracks whose refreshed depth went
         # non-positive drop out of the vote here.
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+
         sel_tracks = asm["sel_tracks"]
         n_sel = asm["n_sel"]
         frames_by_id = asm["frames_by_id"]
@@ -1257,11 +1259,12 @@ class SlidingWindowTracker:
         valid[:n_sel] &= fresh
         P3D = np.zeros((self.caps.L, 3))
         if fresh.any():
-            live = [t for t, f in zip(sel_tracks, fresh) if f]
-            pts = builders.get_landmark_points_batch(
-                live, frames_by_id, self.calib
-            )
-            P3D[: n_sel][fresh] = pts
+            with _T.time("swt.judge.p3d"):
+                live = [t for t, f in zip(sel_tracks, fresh) if f]
+                pts = builders.get_landmark_points_batch(
+                    live, frames_by_id, self.calib
+                )
+                P3D[: n_sel][fresh] = pts
 
         q_bc = self.calib.q_bc_h
         p_bc = self.calib.p_bc_h
@@ -1274,14 +1277,15 @@ class SlidingWindowTracker:
             # gates this frame's tags/m_th/keyframe decision synchronously
             from rd_vio_tpu.ops import parsac_np
 
-            res = parsac_np.imu_parsac_pnp_np(
-                self._next_seed(), P3D, P2D, valid, lens,
-                asnp(Rcw), asnp(tcw), asnp(self.bin_conf_imu),
-                threshold=cfg.parsac_threshold / Km[0, 0],
-                dynamic_prob=cfg.parsac_dynamic_probability,
-                norm_scale=cfg.parsac_norm_scale,
-                num_hypotheses=cfg.ransac_hypotheses,
-            )
+            with _T.time("swt.judge.parsac"):
+                res = parsac_np.imu_parsac_pnp_np(
+                    self._next_seed(), P3D, P2D, valid, lens,
+                    asnp(Rcw), asnp(tcw), asnp(self.bin_conf_imu),
+                    threshold=cfg.parsac_threshold / Km[0, 0],
+                    dynamic_prob=cfg.parsac_dynamic_probability,
+                    norm_scale=cfg.parsac_norm_scale,
+                    num_hypotheses=cfg.parsac_judge_hypotheses,
+                )
             self.bin_conf_imu = res.bin_confidences
             mask = res.inlier_mask
         else:
@@ -1293,7 +1297,7 @@ class SlidingWindowTracker:
                 threshold=cfg.parsac_threshold / Km[0, 0],
                 dynamic_prob=cfg.parsac_dynamic_probability,
                 norm_scale=cfg.parsac_norm_scale,
-                num_hypotheses=cfg.ransac_hypotheses,
+                num_hypotheses=cfg.parsac_judge_hypotheses,
             )
             self.bin_conf_imu = res.bin_confidences
             mask = asnp(res.inlier_mask)
@@ -1418,7 +1422,7 @@ class SlidingWindowTracker:
                     self._next_seed(), P1, P2, VAL, EN,
                     asnp(self.bin_conf_2d2d), self.m_th / Km[0, 0],
                     norm_scale=cfg.parsac_norm_scale,
-                    num_hypotheses=cfg.ransac_hypotheses,
+                    num_hypotheses=cfg.parsac_judge_hypotheses,
                 )
                 self.bin_conf_2d2d = conf
             else:
@@ -1428,7 +1432,7 @@ class SlidingWindowTracker:
                     jnp.asarray(self.bin_conf_2d2d),
                     self.m_th / Km[0, 0],
                     norm_scale=cfg.parsac_norm_scale,
-                    num_hypotheses=cfg.ransac_hypotheses,
+                    num_hypotheses=cfg.parsac_judge_hypotheses,
                 )
                 self.bin_conf_2d2d = conf_dev
                 masks = asnp(masks_dev)

@@ -90,6 +90,11 @@ def load_library():
             [ctypes.c_longlong, ctypes.c_longlong] + [dptr] * 20
         )
         lib.rdvio_predict_mean.argtypes = [ctypes.c_longlong] + [dptr] * 11
+        u8ptr = ctypes.POINTER(ctypes.c_ubyte)
+        lib.rdvio_poisson_filter.argtypes = [
+            ctypes.c_longlong, dptr, u8ptr, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_longlong, u8ptr,
+        ]
         _lib = lib
         return lib
 
@@ -140,6 +145,22 @@ def predict_mean(q0, p0, v0, bg, ba, dts, ws, accs):
         p_(q0), p_(p0), p_(v0), p_(q), p_(p), p_(v),
     )
     return q, p, v
+
+
+def poisson_filter(points, valid, min_distance, width, height,
+                   preset_count: int = 0):
+    """Greedy Poisson-disk grid filter (native); returns accepted mask."""
+    lib = load_library()
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    val = np.ascontiguousarray(valid, dtype=np.uint8)
+    acc = np.zeros(len(pts), np.uint8)
+    lib.rdvio_poisson_filter(
+        len(pts), pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        float(min_distance), float(width), float(height), int(preset_count),
+        acc.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return acc.astype(bool)
 
 
 def available() -> bool:

@@ -14,6 +14,7 @@
 
 #include <cmath>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -140,6 +141,50 @@ inline void tri_inverse_lower(const double* L, double* Li, int n) {
 }  // namespace
 
 extern "C" {
+
+// Greedy Poisson-disk grid filter (reference util/poisson_disk_filter.h:
+// 22-56 semantics, identical to ops/poisson_disk.poisson_disk_filter and
+// its NumPy twin): points in priority order claim grid cells; a point
+// within min_distance of an accepted point is rejected. preset_count
+// leading points are inserted unconditionally.
+// points (N, 2) f64; valid (N) u8; accepted (N) u8 out.
+void rdvio_poisson_filter(
+    long long N, const double* points, const unsigned char* valid,
+    double min_distance, double width, double height,
+    long long preset_count, unsigned char* accepted) {
+  const double r = min_distance;
+  const double cell = r / std::sqrt(2.0);
+  const double r2 = r * r;
+  int gx = (int)std::ceil(width / cell) + 4;
+  int gy = (int)std::ceil(height / cell) + 4;
+  std::vector<double> px(gx * gy, 1e30), py(gx * gy, 1e30);
+  std::vector<unsigned char> occ(gx * gy, 0);
+  for (long long i = 0; i < N; ++i) {
+    accepted[i] = 0;
+    if (!valid[i]) continue;
+    double x = points[i * 2], y = points[i * 2 + 1];
+    int cj = (int)(x / cell) + 2;
+    int ci = (int)(y / cell) + 2;
+    cj = cj < 2 ? 2 : (cj > gx - 3 ? gx - 3 : cj);
+    ci = ci < 2 ? 2 : (ci > gy - 3 ? gy - 3 : ci);
+    bool conflict = false;
+    if (i >= preset_count) {
+      for (int di = -2; di <= 2 && !conflict; ++di)
+        for (int dj = -2; dj <= 2 && !conflict; ++dj) {
+          int idx = (ci + di) * gx + (cj + dj);
+          if (!occ[idx]) continue;
+          double dx = px[idx] - x, dy = py[idx] - y;
+          if (dx * dx + dy * dy < r2) conflict = true;
+        }
+    }
+    if (!conflict) {
+      int idx = ci * gx + cj;
+      px[idx] = x; py[idx] = y; occ[idx] = 1;
+      accepted[i] = 1;
+    }
+  }
+}
+
 
 // Mean-only integrate + gravity-aware predict (reference
 // preintegrator.cpp:22-76 mean rows + :102-112 predict), one interval.

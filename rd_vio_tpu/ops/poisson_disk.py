@@ -73,10 +73,19 @@ def poisson_disk_filter_np(
     points, valid, min_distance: float, width: float, height: float,
     preset_count: int = 0,
 ):
-    """Host (NumPy) twin of `poisson_disk_filter` — same greedy grid-hash
-    semantics. The per-frame tracked-keypoint re-filter is a short sequential
-    loop; running it on host (after the device mask fetch) frees ~5-8 ms of
-    serialized device scan time per frame on TPU."""
+    """Host twin of `poisson_disk_filter` — same greedy grid-hash semantics.
+    The per-frame tracked-keypoint re-filter is a short sequential loop;
+    running it on host (after the device mask fetch) frees ~5-8 ms of
+    serialized device scan time per frame on TPU. Uses the native C++ filter
+    when available (~30 us vs ~2.3 ms for the Python loop); this loop is the
+    oracle/fallback."""
+    from rd_vio_tpu import native
+
+    if native.available():
+        return native.poisson_filter(
+            points, valid, min_distance, width, height,
+            preset_count=preset_count,
+        )
     r = float(min_distance)
     cell = r / math.sqrt(2.0)
     gx = int(math.ceil(width / cell)) + 4
