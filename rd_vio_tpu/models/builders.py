@@ -32,6 +32,12 @@ from rd_vio_tpu.ops import preintegration as pre
 from rd_vio_tpu.ops import triangulate as tri
 
 
+# steady-state coverage counter: warmup uses this to confirm its shadow run
+# actually reached the fully-fused keyframe program (window filled), not just
+# the pre-steady localize/refine branch
+N_KEYFRAME_FUSED = 0
+
+
 @dataclasses.dataclass(frozen=True)
 class Caps:
     """Static capacities; one value set => one compiled executable per solve."""
@@ -1131,6 +1137,9 @@ def solve_keyframe_fused(
     (res, res_loc, lm_w, valid_h, tri_ok_h, tri_invd_h, new_prior) with the
     three *_h arrays host-fetched alongside the solve results."""
     from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
+
+    global N_KEYFRAME_FUSED
+    N_KEYFRAME_FUSED += 1
 
     Lv = 2 * caps.L
     Ov = caps.O

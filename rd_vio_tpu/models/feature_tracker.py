@@ -260,7 +260,11 @@ class FeatureTracker:
         state, fetch = fl.ft_loop_step(*step_args, **step_kwargs)
         from rd_vio_tpu.utils import device_time
 
-        if device_time.CAPTURE and not detect_due:
+        # capture whichever variant actually runs steady-state: with
+        # sliding_window_tracker_frequent == 1 (the reference yaml) every
+        # frame is detect_due, so gating on `not detect_due` would never
+        # register the program and the duty-cycle report would omit ft_loop
+        if device_time.CAPTURE:
             device_time.capture(
                 "ft_loop", state=step_args[0], pyr_a=step_args[1],
                 pyr_b=step_args[2], R_pred=step_args[3], key=step_args[4],

@@ -37,31 +37,59 @@ def warmup_solver_programs(config, caps, duration: float = 6.0) -> bool:
     shadow pipeline, forcing compilation of every solver program the
     tracking phase uses (ft_step, localize+triangulate, keyframe-fused,
     subwindow-fused, marginalize) at the exact static shapes implied by
-    (config, caps). Returns True if the shadow run reached tracking."""
+    (config, caps). Returns True if the shadow run reached tracking.
+
+    Coverage is verified, not assumed: the fully-fused keyframe program only
+    runs once the sliding window FILLS (frame_num > sliding_window_size), and
+    a too-short shadow compiles only the pre-steady localize/refine branch —
+    the expensive steady-state program then compiles INSIDE the measured
+    phase (BENCH_r03 light: refine 3.9 s mid-phase; r4 cold real: 118 s
+    keyframe-fused stall). If the shadow ends without having executed
+    builders.solve_keyframe_fused, it reruns once with a 3x longer sequence.
+    """
     from rd_vio_tpu.datasets import synthetic
+    from rd_vio_tpu.models import builders
     from rd_vio_tpu.models.feature_tracker import SyntheticBackend
     from rd_vio_tpu.models.odometry import Odometry
 
-    cfg = copy.deepcopy(config)
-    seq = synthetic.generate(duration=duration, n_landmarks=900,
-                             max_keypoints=120)
-    cfg.camera_intrinsic = seq.K_mat
-
     tracked = False
-    with StageTimer.suppressed():
-        odo = Odometry(cfg, SyntheticBackend(seq), caps=caps, threaded=False)
-        events = sorted(
-            [(t, 1, i) for i, t in enumerate(seq.t_imu)]
-            + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
-        )
-        for t, kind, i in events:
-            if kind == 1:
-                odo.add_motion(t, seq.gyro[i], seq.accel[i])
-            else:
-                odo.add_frame(t, i)
-                if odo.state() == 1:
-                    tracked = True
-        odo.close()
+    for attempt, dur in enumerate((duration, duration * 3.0)):
+        kf0 = builders.N_KEYFRAME_FUSED
+        cfg = copy.deepcopy(config)
+        seq = synthetic.generate(duration=dur, n_landmarks=900,
+                                 max_keypoints=120)
+        cfg.camera_intrinsic = seq.K_mat
+
+        with StageTimer.suppressed():
+            odo = Odometry(cfg, SyntheticBackend(seq), caps=caps,
+                           threaded=False)
+            events = sorted(
+                [(t, 1, i) for i, t in enumerate(seq.t_imu)]
+                + [(t, 0, i) for i, t in enumerate(seq.t_frame)]
+            )
+            steady = False
+            for t, kind, i in events:
+                if kind == 1:
+                    odo.add_motion(t, seq.gyro[i], seq.accel[i])
+                else:
+                    odo.add_frame(t, i)
+                    if odo.state() == 1:
+                        tracked = True
+                    # stop once steady state has executed twice: the first
+                    # fused keyframe can trace a no-prior variant, the second
+                    # runs the steady with-prior signature — after both,
+                    # every program the tracking phase uses is compiled (or
+                    # mid-compile on this thread)
+                    if builders.N_KEYFRAME_FUSED >= kf0 + 2:
+                        steady = True
+                        break
+            odo.close()
+        if steady:
+            return tracked
+        log.warning("warmup shadow run (%.0fs) ended before the window "
+                    "filled%s", dur,
+                    "; retrying longer" if attempt == 0 else
+                    " — steady-state keyframe program NOT warmed")
     return tracked
 
 
