@@ -42,12 +42,13 @@ def host_cache_fingerprint() -> str:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags") or line.startswith("Features"):
-                    toks = line.split(":", 1)[1].split()
-                    feats = sorted(
-                        t for t in toks
-                        if t.startswith(("avx", "amx", "sse4", "fma",
-                                         "f16c", "vnni", "asimd", "sve"))
-                    )
+                    # the FULL sorted flag set, not a curated subset: LLVM's
+                    # target-feature vector is finer-grained than any subset
+                    # we might curate (round 4 still saw "compilation doesn't
+                    # match the machine type" warnings with a filtered list —
+                    # VERDICT r4 item 6), and over-splitting the cache merely
+                    # costs a recompile, never a SIGILL
+                    feats = sorted(line.split(":", 1)[1].split())
                     break
     except OSError:
         pass

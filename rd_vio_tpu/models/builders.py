@@ -34,8 +34,18 @@ from rd_vio_tpu.ops import triangulate as tri
 
 # steady-state coverage counter: warmup uses this to confirm its shadow run
 # actually reached the fully-fused keyframe program (window filled), not just
-# the pre-steady localize/refine branch
-N_KEYFRAME_FUSED = 0
+# the pre-steady localize/refine branch. THREAD-LOCAL (ADVICE r4): the shadow
+# pipeline is synchronous on the warmup thread, so its count can never be
+# satisfied by a concurrently-running real pipeline's keyframes.
+import threading as _threading
+
+
+class _KfFusedCounter(_threading.local):
+    def __init__(self):
+        self.n = 0
+
+
+KF_FUSED_COUNT = _KfFusedCounter()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1138,8 +1148,7 @@ def solve_keyframe_fused(
     three *_h arrays host-fetched alongside the solve results."""
     from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
 
-    global N_KEYFRAME_FUSED
-    N_KEYFRAME_FUSED += 1
+    KF_FUSED_COUNT.n += 1
 
     Lv = 2 * caps.L
     Ov = caps.O

@@ -260,11 +260,13 @@ class FeatureTracker:
         state, fetch = fl.ft_loop_step(*step_args, **step_kwargs)
         from rd_vio_tpu.utils import device_time
 
-        # capture whichever variant actually runs steady-state: with
-        # sliding_window_tracker_frequent == 1 (the reference yaml) every
-        # frame is detect_due, so gating on `not detect_due` would never
-        # register the program and the duty-cycle report would omit ft_loop
-        if device_time.CAPTURE:
+        # capture the variant that runs in the MAJORITY of steady-state
+        # frames (ADVICE r4: first-capture-wins used to register the frame-0
+        # detect variant even when frequent>1 makes detect the minority):
+        # frequent == 1 => every frame is detect_due, capture detect=True;
+        # frequent > 1 => most frames are track-only, capture detect=False
+        majority_detect = max(cfg.sliding_window_tracker_frequent, 1) == 1
+        if device_time.CAPTURE and detect_due == majority_detect:
             device_time.capture(
                 "ft_loop", state=step_args[0], pyr_a=step_args[1],
                 pyr_b=step_args[2], R_pred=step_args[3], key=step_args[4],

@@ -126,7 +126,9 @@ def measure_keyframe() -> Optional[float]:
 
 
 def measure_ft_loop() -> Optional[float]:
-    """Device ms of the frontend-loop per-frame program (track variant)."""
+    """Device ms of the frontend-loop per-frame program (the captured
+    variant is the config's steady-state majority: detect when
+    sliding_window_tracker_frequent == 1, track-only otherwise)."""
     cap = REGISTRY.get("ft_loop")
     if cap is None:
         return None

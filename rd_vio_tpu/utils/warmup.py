@@ -37,9 +37,14 @@ def warmup_solver_programs(config, caps, duration: float = 6.0) -> bool:
     shadow pipeline, forcing compilation of every solver program the
     tracking phase uses (ft_step, localize+triangulate, keyframe-fused,
     subwindow-fused, marginalize) at the exact static shapes implied by
-    (config, caps). Returns True if the shadow run reached tracking.
+    (config, caps). Returns (tracked, steady): tracked=True if the shadow
+    run reached tracking, steady=True if the fully-fused keyframe program
+    verifiably executed (programs first reached only in rarer steady-state
+    branches — the pure-rotation subwindow chain, the oversized-window
+    marginalization — are NOT covered by this verification and may still
+    compile lazily).
 
-    Coverage is verified, not assumed: the fully-fused keyframe program only
+    Keyframe-fused coverage is verified, not assumed: that program only
     runs once the sliding window FILLS (frame_num > sliding_window_size), and
     a too-short shadow compiles only the pre-steady localize/refine branch —
     the expensive steady-state program then compiles INSIDE the measured
@@ -54,7 +59,11 @@ def warmup_solver_programs(config, caps, duration: float = 6.0) -> bool:
 
     tracked = False
     for attempt, dur in enumerate((duration, duration * 3.0)):
-        kf0 = builders.N_KEYFRAME_FUSED
+        # thread-local counter: only THIS thread's (i.e. the shadow's own)
+        # fused-keyframe executions count (ADVICE r4: with a process-global
+        # counter a concurrently-live real pipeline could satisfy the break
+        # before the shadow compiled anything)
+        kf0 = builders.KF_FUSED_COUNT.n
         cfg = copy.deepcopy(config)
         seq = synthetic.generate(duration=dur, n_landmarks=900,
                                  max_keypoints=120)
@@ -80,17 +89,17 @@ def warmup_solver_programs(config, caps, duration: float = 6.0) -> bool:
                     # runs the steady with-prior signature — after both,
                     # every program the tracking phase uses is compiled (or
                     # mid-compile on this thread)
-                    if builders.N_KEYFRAME_FUSED >= kf0 + 2:
+                    if builders.KF_FUSED_COUNT.n >= kf0 + 2:
                         steady = True
                         break
             odo.close()
         if steady:
-            return tracked
+            return tracked, True
         log.warning("warmup shadow run (%.0fs) ended before the window "
                     "filled%s", dur,
                     "; retrying longer" if attempt == 0 else
                     " — steady-state keyframe program NOT warmed")
-    return tracked
+    return tracked, False
 
 
 def warmup_image_programs(backend, width: int, height: int,
@@ -159,9 +168,11 @@ def start_warmup_thread(config, caps, duration: float = 6.0,
         for i, cfg in enumerate((config, *extra_configs)):
             try:
                 t0 = _time.time()
-                ok = warmup_solver_programs(cfg, caps, duration=duration)
+                tracked, steady = warmup_solver_programs(
+                    cfg, caps, duration=duration)
                 print(f"[warmup] config {i} done in {_time.time() - t0:.0f}s "
-                      f"(tracked={ok})", file=sys.stderr, flush=True)
+                      f"(tracked={tracked}, steady={steady})",
+                      file=sys.stderr, flush=True)
             except Exception:  # noqa: BLE001 — must never kill the host app
                 log.warning("solver warmup failed", exc_info=True)
 
