@@ -1132,23 +1132,18 @@ def _fused_keyframe_jit(
     return res, res_loc, valid_out, tri_ok, tri_invd
 
 
-def solve_keyframe_fused(
+def assemble_keyframe_fused(
     spec_loc: BASpec, pending: List[Track], spec_w: BASpec,
     tracks_v: List[Track], spec_m: BASpec,
     frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps,
     caps_loc: Optional[Caps] = None, dtype=None, loc_dtype=None,
-    max_iterations: int = 10,
 ):
-    """Fully-fused sliding-keyframe step: ONE dispatch + ONE fetch for
-    localize + triangulate + window solve + validation + marginalization.
-
-    spec_w must already include `pending` tracks (their factors are gated
-    on-device by triangulation success). Returns
-    (res, res_loc, lm_w, valid_h, tri_ok_h, tri_invd_h, new_prior) with the
-    three *_h arrays host-fetched alongside the solve results."""
+    """Host-side (NumPy) assembly of the fully-fused keyframe step: every
+    array `_fused_keyframe_jit` + `_marginalize_tail_jit` consume, as a flat
+    dict of same-keyed leaves. Split out of solve_keyframe_fused so the
+    batched multi-sequence runtime (rd_vio_tpu.batch) can stack N of these
+    and drive ONE vmapped dispatch. Returns (arrays_dict, lm_w)."""
     from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as _T
-
-    KF_FUSED_COUNT.n += 1
 
     Lv = 2 * caps.L
     Ov = caps.O
@@ -1193,6 +1188,40 @@ def solve_keyframe_fused(
             mlm_vti[s] = vti_of_tid.get(tid, -1)
             mlm_from_w[s] = lm_w.get(tid, -1)
             mlm_tri[s] = tri_idx_of_tid.get(tid, -1)
+    arrays = dict(
+        pa_loc=pa_loc, b=b, qcw=qcw, pcw=pcw, m_tri=m_tri, us=us,
+        tri_aqc=tri_aqc, tri_apc=tri_apc, pa_w=pa_w,
+        j_w=np.int32(j_w), wlm_tri=wlm_tri, va=va, pa_m=pa_m,
+        mlm_vti=mlm_vti, mlm_from_w=mlm_from_w, mlm_tri=mlm_tri,
+    )
+    return arrays, lm_w
+
+
+def solve_keyframe_fused(
+    spec_loc: BASpec, pending: List[Track], spec_w: BASpec,
+    tracks_v: List[Track], spec_m: BASpec,
+    frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps,
+    caps_loc: Optional[Caps] = None, dtype=None, loc_dtype=None,
+    max_iterations: int = 10,
+):
+    """Fully-fused sliding-keyframe step: ONE dispatch + ONE fetch for
+    localize + triangulate + window solve + validation + marginalization.
+
+    spec_w must already include `pending` tracks (their factors are gated
+    on-device by triangulation success). Returns
+    (res, res_loc, lm_w, valid_h, tri_ok_h, tri_invd_h, new_prior) with the
+    three *_h arrays host-fetched alongside the solve results."""
+    KF_FUSED_COUNT.n += 1
+
+    a, lm_w = assemble_keyframe_fused(
+        spec_loc, pending, spec_w, tracks_v, spec_m, frames_by_id, calib,
+        caps, caps_loc=caps_loc, dtype=dtype, loc_dtype=loc_dtype,
+    )
+    pa_loc, b, qcw, pcw = a["pa_loc"], a["b"], a["qcw"], a["pcw"]
+    m_tri, us, tri_aqc, tri_apc = a["m_tri"], a["us"], a["tri_aqc"], a["tri_apc"]
+    pa_w, j_w, wlm_tri, va = a["pa_w"], int(a["j_w"]), a["wlm_tri"], a["va"]
+    pa_m = a["pa_m"]
+    mlm_vti, mlm_from_w, mlm_tri = a["mlm_vti"], a["mlm_from_w"], a["mlm_tri"]
 
     res, res_loc, valid_out, tri_ok, tri_invd = _fused_keyframe_jit(
         pa_loc, jnp.asarray(b), jnp.asarray(qcw), jnp.asarray(pcw),

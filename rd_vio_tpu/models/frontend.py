@@ -31,6 +31,9 @@ class Frontend:
         self.caps = caps
         self.initializer: Optional[Initializer] = Initializer(config, calib, caps)
         self.swt: Optional[SlidingWindowTracker] = None
+        # tracker constructor — the batched runtime (rd_vio_tpu.batch)
+        # swaps in its dispatcher-coupled subclass here
+        self.swt_factory = SlidingWindowTracker
         self.pending_frame_ids = []
         # (t, frame_id, q, p, v, bg, ba)
         self.latest_optimized = None
@@ -100,7 +103,7 @@ class Frontend:
                 self.initializer.mirror_keyframe_map(ft_map, fid)
             init_map = self.initializer.initialize()
             if init_map is not None:
-                self.swt = SlidingWindowTracker(
+                self.swt = self.swt_factory(
                     init_map, self.config, self.calib, self.caps
                 )
                 self.swt.feature_tracking_map = ft_map
@@ -119,7 +122,12 @@ class Frontend:
             if not ok:
                 return
             if self.swt.track():
-                self._publish(fid)
+                # batched runtime: a deferred keyframe tail publishes from
+                # its continuation instead (the state it publishes does not
+                # exist until the batched fetch is applied)
+                hook = getattr(self.swt, "defer_publish_hook", None)
+                if hook is None or not hook(lambda fid=fid: self._publish(fid)):
+                    self._publish(fid)
             else:
                 self.latest_optimized = None
                 self.initializer = Initializer(self.config, self.calib, self.caps)

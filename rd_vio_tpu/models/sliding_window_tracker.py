@@ -232,27 +232,37 @@ class SlidingWindowTracker:
                     and m.frame_num > self.config.sliding_window_size):
                 # steady state: the ENTIRE keyframe step as one device
                 # program (localize + triangulate + window BA + validation +
-                # marginalization) — one dispatch, one fetch
+                # marginalization) — one dispatch, one fetch. A truthy
+                # return means the subclass deferred the fetch-and-apply
+                # tail (batched runtime continuation); the epilogue then
+                # runs inside that continuation instead of here.
                 with T.time("swt.keyframe_fused"):
-                    self._keyframe_fused(spec_loc, frame_j)
-                with T.time("swt.marginalize"):
-                    self.slide_window()
+                    deferred = self._keyframe_fused(spec_loc, frame_j)
+                if not deferred:
+                    self._finish_keyframe()
             else:
                 with T.time("swt.localize_triangulate"):
                     self.track_landmark(spec_loc=spec_loc)
                 with T.time("swt.refine_window"):
                     self.refine_window()
-                with T.time("swt.marginalize"):
-                    self.slide_window()
-            # the device chain restarts under the new keyframe: the keyframe
-            # step's synchronous fetch made the host mirror exact
-            self._dev_sub = None
+                self._finish_keyframe()
         else:
             keyframe_i = self.map.get_frame(self.map.frame_num - 2)
             keyframe_i.subframes.append(self.map.detach_frame(self.map.frame_num - 1))
             with T.time("swt.subwindow_fused"):
                 self.refine_subwindow(fused_localize=True)
         return True
+
+    def _finish_keyframe(self):
+        """Keyframe-branch epilogue: slide the window and restart the device
+        chain under the new keyframe (whose solve made the host mirror
+        exact — or, in the batched runtime, whose continuation just applied
+        the batched fetch)."""
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
+
+        with T.time("swt.marginalize"):
+            self.slide_window()
+        self._dev_sub = None
 
     # ------------------------------------------------------------------
     def _keyframe_decision(self) -> bool:
@@ -1285,6 +1295,7 @@ class SlidingWindowTracker:
                     dynamic_prob=cfg.parsac_dynamic_probability,
                     norm_scale=cfg.parsac_norm_scale,
                     num_hypotheses=cfg.parsac_judge_hypotheses,
+                    max_iteration=cfg.parsac_max_iteration,
                 )
             self.bin_conf_imu = res.bin_confidences
             mask = res.inlier_mask
@@ -1423,6 +1434,7 @@ class SlidingWindowTracker:
                     asnp(self.bin_conf_2d2d), self.m_th / Km[0, 0],
                     norm_scale=cfg.parsac_norm_scale,
                     num_hypotheses=cfg.parsac_judge_hypotheses,
+                    max_iteration=cfg.parsac_max_iteration,
                 )
                 self.bin_conf_2d2d = conf
             else:

@@ -157,47 +157,116 @@ def rotation_angular_error_np(R, p1, p2):
     return np.arccos(d)
 
 
-def ft_step_np(b1, b2, valid, key, rot_thresh, num_hypotheses: int):
+def adaptive_iteration_bound(inlier_ratio: float, confidence: float = 0.999,
+                             max_iteration: int = 1000) -> int:
+    """The reference's adaptive RANSAC iteration bound
+    (util/ransac.h:72-77): N = log(1 - confidence) / log(1 - r^5), capped at
+    max_iteration. The exponent is a fixed 5 for every model in the
+    reference (the template hardcodes pow(inlier_ratio, 5) regardless of
+    ModelDoF), mirrored here for behavioral parity."""
+    K = np.log(max(1.0 - confidence, 1.0e-5))
+    r5 = min(max(inlier_ratio, 0.0), 1.0) ** 5
+    if r5 >= 1.0:
+        return 1
+    denom = np.log1p(-r5)
+    if denom >= 0.0:
+        return max_iteration
+    return min(int(np.ceil(K / denom)), max_iteration)
+
+
+def _adaptive_ransac_np(rng, pts_a, pts_b, sample_size, solver, scorer,
+                        max_hypotheses, confidence, chunk):
+    """Chunked adaptive RANSAC over COMPACTED (valid-only) point arrays.
+
+    Evaluates hypotheses `chunk` at a time and stops once the evaluated
+    count reaches the reference's adaptive bound for the best inlier ratio
+    so far — the host-twin equivalent of util/ransac.h's shrinking
+    iter_max. On benign frames (inlier ratio ~1) this is one chunk instead
+    of the full fixed bank, which is where the host frontend's per-frame
+    milliseconds go (VERDICT r4 item 4). Returns (best_model, best_mask)."""
+    n = pts_a.shape[0]
+    best_mask = np.zeros(n, bool)
+    best_count = -1
+    best_model = None
+    done = 0
+    bound = max_hypotheses
+    while done < bound:
+        k = min(chunk, bound - done)
+        idx = sample_indices_np(rng, np.ones(n, bool), k, sample_size)
+        models = solver(pts_a[idx], pts_b[idx])  # (k, ...)
+        inl = scorer(models, pts_a, pts_b)  # (k, n) bool
+        counts = inl.sum(axis=-1)
+        b = int(np.argmax(counts))
+        if int(counts[b]) > best_count:
+            best_count = int(counts[b])
+            best_mask = inl[b]
+            best_model = models[b]
+            bound = min(bound, adaptive_iteration_bound(
+                best_count / n, confidence, max_hypotheses))
+        done += k
+    return best_model, best_mask
+
+
+def ft_step_np(b1, b2, valid, key, rot_thresh, num_hypotheses: int,
+               confidence: float = 0.999, chunk: int = 16):
     """NumPy twin of frontend_step.ft_step: essential-RANSAC mask + rotation
-    misalignment percentile. Returns {"mask": (N,) bool, "misalign": float}."""
+    misalignment percentile. Returns {"mask": (N,) bool, "misalign": float}.
+
+    Unlike the device program (fixed-size hypothesis bank — the right shape
+    for a batched TPU dispatch), the host twin mirrors the reference's
+    ADAPTIVE iteration bound (util/ransac.h:72-77): hypotheses are drawn in
+    chunks and evaluation stops once the bound for the best inlier ratio is
+    reached. num_hypotheses is the budget cap (the reference's
+    max_iteration). All work runs on valid-row-compacted arrays."""
     rng = _rng_from_key(key)
     f32 = np.float32
     b1 = np.asarray(b1, f32)
     b2 = np.asarray(b2, f32)
     valid = np.asarray(valid, bool)
-    n_valid = int(valid.sum())
+    vidx = np.flatnonzero(valid)
+    n_valid = len(vidx)
+    b1v = b1[vidx]
+    b2v = b2[vidx]
 
     # --- 1. essential RANSAC mask (threshold 1.0 — reference frame.cpp:108) --
-    # guard the divide on empty (all-zero) slots; they are masked by `valid`
-    z1 = np.where(np.abs(b1[:, 2:]) < 1e-12, 1.0, b1[:, 2:])
-    z2 = np.where(np.abs(b2[:, 2:]) < 1e-12, 1.0, b2[:, 2:])
-    pn1 = b1[:, :2] / z1
-    pn2 = b2[:, :2] / z2
+    # guard the divide on zero-z bearings (empty slots are compacted away,
+    # but a degenerate tracked bearing must not emit NaN warnings)
+    z1 = np.where(np.abs(b1v[:, 2:]) < 1e-12, 1.0, b1v[:, 2:])
+    z2 = np.where(np.abs(b2v[:, 2:]) < 1e-12, 1.0, b2v[:, 2:])
+    pn1 = b1v[:, :2] / z1
+    pn2 = b2v[:, :2] / z2
+    status = valid.copy()
     if n_valid >= 8:
-        idx = sample_indices_np(rng, valid, num_hypotheses, 8)
-        E = solve_essential_8pt_np(pn1[idx], pn2[idx])  # (K, 3, 3)
-        err = essential_geometric_error_np(E, pn1[None], pn2[None]) + \
-            essential_geometric_error_np(np.swapaxes(E, -1, -2), pn2[None], pn1[None])
-        inl = (err <= 2.0 * CHI2_1DOF * 1.0**2) & valid[None, :]
-        best = int(np.argmax(inl.sum(axis=-1)))
-        status = valid & inl[best]
-    else:
-        status = valid.copy()
+        thr_e = 2.0 * CHI2_1DOF * 1.0**2
+
+        def score_e(E, pa, pb):
+            err = essential_geometric_error_np(E, pa[None], pb[None]) + \
+                essential_geometric_error_np(
+                    np.swapaxes(E, -1, -2), pb[None], pa[None])
+            return err <= thr_e
+
+        _, mask_v = _adaptive_ransac_np(
+            rng, pn1, pn2, 8, solve_essential_8pt_np, score_e,
+            num_hypotheses, confidence, chunk)
+        status = np.zeros_like(valid)
+        status[vidx[mask_v]] = True
 
     # --- 2. rotation RANSAC + misalignment percentile ------------------
     misalign = 0.0
     if n_valid >= 2:
-        idx = sample_indices_np(rng, valid, num_hypotheses, 2)
-        R = solve_rotation_np(b1[idx], b2[idx])  # (K, 3, 3)
-        ang_all = rotation_angular_error_np(R, b1[None], b2[None])
-        inl_r = (ang_all <= CHI2_2DOF * float(rot_thresh) ** 2) & valid[None, :]
-        best = int(np.argmax(inl_r.sum(axis=-1)))
-        rmask = inl_r[best]
-        n_in = int(rmask.sum())
+        thr_r = CHI2_2DOF * float(rot_thresh) ** 2
+
+        def score_r(R, pa, pb):
+            return rotation_angular_error_np(R, pa[None], pb[None]) <= thr_r
+
+        R_best, rmask_v = _adaptive_ransac_np(
+            rng, b1v, b2v, 2, solve_rotation_np, score_r,
+            num_hypotheses, confidence, chunk)
+        n_in = int(rmask_v.sum())
         if n_in > 0:
-            ang = np.degrees(rotation_angular_error_np(R[best], b1, b2))
-            ang_sorted = np.sort(np.where(rmask, ang, np.inf))
-            idx70 = min(max(n_in * 7 // 10, 0), ang.shape[0] - 1)
+            ang = np.degrees(rotation_angular_error_np(R_best, b1v, b2v))
+            ang_sorted = np.sort(np.where(rmask_v, ang, np.inf))
+            idx70 = min(max(n_in * 7 // 10, 0), n_valid - 1)
             misalign = float(ang_sorted[idx70])
 
     return {"mask": status, "misalign": misalign}

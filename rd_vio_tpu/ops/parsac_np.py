@@ -118,8 +118,18 @@ def _run_parsac_np(
     rng, solver, evaluator, sample_size, pts_bucket, valid, threshold,
     bin_conf_prior, norm_scale, num_hypotheses,
     lens=None, dynamic_prob=0.0, prior_mask=None, identity_model=None,
+    max_iteration=None, confidence: float = 0.999,
 ):
-    """Mirror of ops/parsac._run_parsac."""
+    """Mirror of ops/parsac._run_parsac, with the reference's ADAPTIVE
+    iteration bound (parsac.h:113-164 / imu_parsac.h:72-140): hypotheses are
+    evaluated `num_hypotheses` at a time (the chunk — one vectorized
+    solver/evaluator pass) and the total stops once it reaches
+    N = log(1-confidence)/log(1-ratio^5) for the best model so far, capped
+    at `max_iteration` (the reference's default cap is 1000). Benign frames
+    finish in one chunk; dynamic-heavy scenes adapt UP toward the cap,
+    exactly as the reference does (VERDICT r4 item 7)."""
+    from rd_vio_tpu.ops.frontend_step_np import adaptive_iteration_bound
+
     bin_idx, bin_loc = compute_bins_np(np.asarray(pts_bucket, np.float64), norm_scale)
     bin_size = _bin_sum_np(np.ones(valid.shape), bin_idx, valid)
 
@@ -132,25 +142,47 @@ def _run_parsac_np(
         t_weight = np.ones(N_BINS)
 
     logits = _sampling_logits_np(bin_idx, bin_size, bin_conf_prior)
-    idx = _sample_with_logits_np(rng, valid, num_hypotheses, sample_size, logits)
-    models = solver(idx)
-    errors = evaluator(models)  # (K, N)
-    inl = (errors <= threshold) & valid[None, :]
-    counts = inl.sum(axis=-1)
-    scores, _ = _parsac_scores_np(inl, valid, bin_idx, bin_size, bin_loc, t_weight)
+    n_valid = max(int(valid.sum()), 1)
+    cap = int(max_iteration if max_iteration is not None else num_hypotheses)
+    chunk = max(int(num_hypotheses), sample_size)
 
-    if prior_mask is not None:
-        overlap = (inl & prior_mask[None, :]).sum(axis=-1)
-        scores = np.where(overlap >= sample_size, scores, -np.inf)
-        rank_count = overlap
-    else:
-        rank_count = counts
+    best_model = None
+    best_mask = np.zeros(valid.shape, bool)
+    best_count = 0
+    best_score = -np.inf
+    best_comb = -np.inf
+    done = 0
+    bound = cap
+    while done < bound:
+        k = min(chunk, bound - done)
+        idx = _sample_with_logits_np(rng, valid, k, sample_size, logits)
+        models = solver(idx)
+        errors = evaluator(models)  # (k, N)
+        inl = (errors <= threshold) & valid[None, :]
+        counts = inl.sum(axis=-1)
+        scores, _ = _parsac_scores_np(
+            inl, valid, bin_idx, bin_size, bin_loc, t_weight)
 
-    best = int(np.argmax(scores + 1e-9 * rank_count))
-    best_model = models[best]
-    best_mask = inl[best]
-    best_count = int(rank_count[best])
-    best_score = float(scores[best])
+        if prior_mask is not None:
+            overlap = (inl & prior_mask[None, :]).sum(axis=-1)
+            scores = np.where(overlap >= sample_size, scores, -np.inf)
+            rank_count = overlap
+        else:
+            rank_count = counts
+
+        comb = scores + 1e-9 * rank_count
+        b = int(np.argmax(comb))
+        if best_model is None or comb[b] > best_comb:
+            best_comb = float(comb[b])
+            best_model = models[b]
+            best_mask = inl[b]
+            best_count = int(rank_count[b])
+            best_score = float(scores[b])
+            # the reference adapts on the score-best model's PLAIN inlier
+            # ratio (parsac.h:160: inlier_count / size)
+            bound = min(bound, adaptive_iteration_bound(
+                int(counts[b]) / n_valid, confidence, cap))
+        done += k
 
     _, conf_all = _parsac_scores_np(
         best_mask[None, :], valid, bin_idx, bin_size, bin_loc, t_weight
@@ -173,6 +205,7 @@ def _run_parsac_np(
 def parsac_essential_np(
     key_or_rng, p1, p2, valid, bin_conf_prior, threshold,
     norm_scale: float = 1.0, num_hypotheses: int = 256,
+    max_iteration=None,
 ):
     """Mirror of ops/parsac.parsac_essential."""
     rng = key_or_rng if isinstance(key_or_rng, np.random.Generator) \
@@ -191,13 +224,14 @@ def parsac_essential_np(
     return _run_parsac_np(
         rng, solver, evaluator, 8, p2, valid,
         2.0 * CHI2_1DOF * threshold**2, np.asarray(bin_conf_prior),
-        norm_scale, num_hypotheses,
+        norm_scale, num_hypotheses, max_iteration=max_iteration,
     )
 
 
 def parsac_essential_chain_np(
     key, p1, p2, valid, enable, bin_conf_prior, threshold,
     norm_scale: float = 1.0, num_hypotheses: int = 256,
+    max_iteration=None,
 ):
     """Mirror of ops/parsac.parsac_essential_chain (sequential checks chaining
     bin confidences; disabled checks pass the carry through)."""
@@ -210,6 +244,7 @@ def parsac_essential_chain_np(
         res = parsac_essential_np(
             rng, p1[k], p2[k], valid[k], conf, threshold,
             norm_scale=norm_scale, num_hypotheses=num_hypotheses,
+            max_iteration=max_iteration,
         )
         masks[k] = res.inlier_mask & valid[k]
         conf = res.bin_confidences
@@ -281,7 +316,7 @@ def pnp_reprojection_error_np(R_cw, t_cw, x_world, p_norm):
 def imu_parsac_pnp_np(
     key, x_world, p_norm, valid, lens, prior_R, prior_t, bin_conf_prior,
     threshold: float, dynamic_prob: float, norm_scale: float = 1.0,
-    num_hypotheses: int = 256,
+    num_hypotheses: int = 256, max_iteration=None,
 ):
     """Mirror of ops/parsac.imu_parsac_pnp (the static/dynamic classifier)."""
     rng = _rng_from_key(key)
@@ -314,6 +349,7 @@ def imu_parsac_pnp_np(
         np.asarray(bin_conf_prior), norm_scale, num_hypotheses,
         lens=np.asarray(lens), dynamic_prob=dynamic_prob,
         prior_mask=prior_mask, identity_model=identity_model,
+        max_iteration=max_iteration,
     )
 
     if not prior_gate_ok:
