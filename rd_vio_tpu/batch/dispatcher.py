@@ -193,6 +193,11 @@ class BatchDispatcher:
         self._chain: Optional[FrameStates] = None  # (N, Wf, ...) states
         self._priors = None  # batched PriorFactor tree, (N, ...) leaves
         self._prior_writes: Dict[int, object] = {}  # row -> device tree
+        # steady-state markers (benchmark steady-window detection): how many
+        # batched keyframe flushes have run, and how many sequences have
+        # ever submitted a batched program
+        self.n_kf_flushes = 0
+        self.ever_submitted = set()
 
     # -- prior row plumbing (BatchSWT transition + rare host paths) -------
     def put_prior_row(self, i: int, prior_tree):
@@ -274,6 +279,8 @@ class BatchDispatcher:
         host = fetch(transfer)
         for i, shared in shareds.items():
             shared.bind_host(host)
+        self.n_kf_flushes += 1
+        self.ever_submitted.update(shareds)
         self._kf.clear()
         conts, self._kf_continuations = self._kf_continuations, []
         for c in conts:

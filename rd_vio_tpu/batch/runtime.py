@@ -93,6 +93,7 @@ def run_sequences_lockstep(
     cursors = [0] * len(seqs)
     est = [[] for _ in seqs]
     stamps = []
+    kf_flushes = []  # batched-keyframe flush count per tick (steady marker)
     try:
         for k in range(n_frames):
             for i, s in enumerate(seqs):
@@ -104,6 +105,7 @@ def run_sequences_lockstep(
                 cursors[i] = c
             vio.add_frame_tick([(s.t_frame[k], k) for s in seqs])
             stamps.append(time.perf_counter())
+            kf_flushes.append(vio.disp.n_kf_flushes)
             for i, odo in enumerate(vio.odos):
                 if odo.state() == 1:
                     ls = odo.handler.get_latest_state()
@@ -115,4 +117,16 @@ def run_sequences_lockstep(
                 on_tick(k)
     finally:
         vio.close()
-    return n_frames, est, stamps
+    return n_frames, est, stamps, kf_flushes
+
+
+def steady_window_start(kf_flushes, margin: int = 5) -> int:
+    """First tick index safely inside the batched steady state: `margin`
+    ticks past the third batched keyframe flush (the first flush or two can
+    still carry one-time vmapped-program compiles; before any flush the
+    pipeline is in its unbatched init / window-filling phase). Falls back to
+    the midpoint when steady state was never reached."""
+    for k, n in enumerate(kf_flushes):
+        if n >= 3:
+            return min(k + margin, max(len(kf_flushes) - 2, 0))
+    return len(kf_flushes) // 2

@@ -87,7 +87,10 @@ class BatchSWT(SlidingWindowTracker):
         self._dev_sub = (
             BATCHED, {f.id: k for k, f in enumerate(spec.frames)}
         )
-        self._pending_subs.append((fut, spec, lm_slot))
+        self._pending_subs.append((
+            fut, lambda tree: builders.apply_result_np(tree, spec, lm_slot),
+            False,
+        ))
 
     # -- keyframe path -----------------------------------------------------
     def _keyframe_fused(self, spec_loc, frame_j):

@@ -168,6 +168,18 @@ class Config:
     # adaptive-iteration cap for the HOST PARSAC twins — the reference's
     # max_iteration (stereo.cpp:127 / pnp.h:170 defaults: 1000)
     parsac_max_iteration: int = 1000
+    # EXPERIMENTAL async keyframe step (round 5): the fused keyframe program
+    # chains its localize anchor from the previous subwindow solve's device
+    # states and returns results through the ordered async FIFO — the
+    # pipeline never blocks on the keyframe fetch. Default OFF: deferring
+    # the keyframe apply by one frame degrades synthetic-suite ATE
+    # 0.001 -> ~0.33 m (measured round 5; an immediate-drain variant of the
+    # same code path stays at 0.002, and disabling only the deferred
+    # validation-verdict writes recovers to 0.14, so the loss concentrates
+    # in one-frame-late track verdicts compounding through the keyframe
+    # cadence — unresolved). The batched lockstep runtime (rd_vio_tpu.batch)
+    # applies keyframe results within the SAME tick and is unaffected.
+    sliding_window_keyframe_async: bool = False
     # per-frame mask RANSAC placement: True runs it on host NumPy (the result
     # gates host control flow; on a latency-bound tunneled chip a device
     # round trip per frame dominates), False dispatches the fused device

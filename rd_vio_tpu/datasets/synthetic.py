@@ -39,6 +39,9 @@ class SyntheticSequence:
     K_mat: np.ndarray  # (3, 3)
     bg_true: np.ndarray
     ba_true: np.ndarray
+    # ids of landmarks given non-zero world velocity (dynamic objects);
+    # empty for static scenes — ground truth for dynamic-label metrics
+    dynamic_ids: np.ndarray = None
 
 
 def _pose_at(t, rng_phase, period=60.0, excitation=0.0):
@@ -191,4 +194,5 @@ def generate(
         t_frame=t_frame, q_wb=q_wb, p_wb=p_wb, v_wb=v_wb,
         kp_pixel=kp_pixel, kp_id=kp_id, landmarks=lm, K_mat=K_mat,
         bg_true=np.asarray(bg, float), ba_true=np.asarray(ba, float),
+        dynamic_ids=np.asarray(dyn_ids, np.int64),
     )

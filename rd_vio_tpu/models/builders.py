@@ -225,6 +225,20 @@ def propagate_chain(frames: List[Frame], start: Frame, calib: CalibArrays, cap: 
 
 
 @dataclasses.dataclass
+class ReprojArrays:
+    """Pre-vectorized reprojection factors (the SoA fast lane of the window
+    and marginalization specs — VERDICT r4 item 3): same content as the
+    `reproj` tuple list, already gathered into flat arrays by the model
+    layer so _assemble skips its per-factor Python loop."""
+
+    tgt: np.ndarray  # (n,) int32 target slot
+    ref: np.ndarray  # (n,) int32 anchor slot
+    lm: np.ndarray  # (n,) int32 landmark slot
+    zr: np.ndarray  # (n, 3) anchor bearing
+    zt: np.ndarray  # (n, 3) target bearing
+
+
+@dataclasses.dataclass
 class BASpec:
     """Declarative solve description filled by the model layer."""
 
@@ -245,6 +259,108 @@ class BASpec:
     reproj_prior: List[Tuple[Frame, Frame, Track]] = dataclasses.field(default_factory=list)
     # fixed-i preintegration priors: (frame_i, frame_j, (dt,w,a))
     imu_prior: List[Tuple[Frame, Frame, tuple]] = dataclasses.field(default_factory=list)
+    # SoA fast lanes: when set, _assemble consumes these INSTEAD of the
+    # `reproj` list / per-track opt_tracks loop (opt_invd aligns with
+    # opt_tracks; landmark slot i == opt_tracks[i] for i < caps.L)
+    reproj_arrays: Optional[ReprojArrays] = None
+    opt_invd: Optional[np.ndarray] = None
+
+
+def _anchor_row_maps(st, frames: List[Frame], kf_fids) -> tuple:
+    """Per-store-row anchor lookup built once per window: for every track
+    row anchored at a window KEYFRAME, its anchor's window slot and anchor
+    bearing. The SoA replacement for per-factor `track.obs[anchor.id]`
+    dict lookups (VERDICT r4 item 3)."""
+    kfset = {int(x) for x in np.asarray(kf_fids).ravel()}
+    a_slot = np.full(st.cap, -1, np.int64)
+    a_bear = np.zeros((st.cap, 3))
+    for ws, f in enumerate(frames):
+        if f.id not in kfset:
+            continue
+        rows = st.rows_of(f.track_ids)
+        msk = (rows >= 0) & (st.first_fid[np.clip(rows, 0, None)] == f.id)
+        rr = rows[msk]
+        a_slot[rr] = ws
+        a_bear[rr] = f.bearings[np.flatnonzero(msk)]
+    return a_slot, a_bear
+
+
+def window_reproj_arrays(st, frames: List[Frame], kf_fids, bits, pend_row,
+                         opt_rows, L: int) -> ReprojArrays:
+    """Window VI-BA reprojection factors as flat arrays (reference
+    refine_window :226-337 factor selection), frame-major with keypoint-index
+    inner order — identical factor order to the former per-tuple loop."""
+    a_slot, a_bear = _anchor_row_maps(st, frames, kf_fids)
+    lm_of_row = np.full(st.cap, -1, np.int64)
+    n_lm = min(len(opt_rows), L)
+    lm_of_row[opt_rows[:n_lm]] = np.arange(n_lm)
+    tgt_p, ref_p, lm_p, zr_p, zt_p = [], [], [], [], []
+    for ws, f in enumerate(frames):
+        rows = st.rows_of(f.track_ids)
+        r = np.clip(rows, 0, None)
+        fsel = (rows >= 0) & (
+            ((st.flags[r] & bits) == bits) | pend_row[r]
+        )
+        ff = st.first_fid[r]
+        fsel &= (ff != f.id) & np.isin(ff, kf_fids)
+        fsel &= (lm_of_row[r] >= 0) & (a_slot[r] >= 0)
+        idxs = np.flatnonzero(fsel)
+        if len(idxs) == 0:
+            continue
+        rr = r[idxs]
+        tgt_p.append(np.full(len(idxs), ws, np.int64))
+        ref_p.append(a_slot[rr])
+        lm_p.append(lm_of_row[rr])
+        zr_p.append(a_bear[rr])
+        zt_p.append(f.bearings[idxs])
+    if not tgt_p:
+        z = np.zeros(0, np.int32)
+        return ReprojArrays(tgt=z, ref=z, lm=z,
+                            zr=np.zeros((0, 3)), zt=np.zeros((0, 3)))
+    return ReprojArrays(
+        tgt=np.concatenate(tgt_p).astype(np.int32),
+        ref=np.concatenate(ref_p).astype(np.int32),
+        lm=np.concatenate(lm_p).astype(np.int32),
+        zr=np.concatenate(zr_p), zt=np.concatenate(zt_p),
+    )
+
+
+def marg_reproj_arrays(st, frames: List[Frame], kf_fids, track_rows,
+                       L: int) -> ReprojArrays:
+    """Marginalization-problem reprojection factors as flat arrays
+    (reference ceres/marginalization_factor.h:237-283 selection): every
+    window-frame observation of the given victim-anchored tracks except the
+    anchor's own. Frame-major order (the former loop was track-major);
+    marginalization consumes sums, so factor order is immaterial."""
+    a_slot, a_bear = _anchor_row_maps(st, frames, kf_fids)
+    lm_of_row = np.full(st.cap, -1, np.int64)
+    n_lm = min(len(track_rows), L)
+    lm_of_row[track_rows[:n_lm]] = np.arange(n_lm)
+    tgt_p, ref_p, lm_p, zr_p, zt_p = [], [], [], [], []
+    for ws, f in enumerate(frames):
+        rows = st.rows_of(f.track_ids)
+        r = np.clip(rows, 0, None)
+        fsel = (rows >= 0) & (lm_of_row[r] >= 0) & (a_slot[r] >= 0)
+        fsel &= st.first_fid[r] != f.id  # anchor's own observation excluded
+        idxs = np.flatnonzero(fsel)
+        if len(idxs) == 0:
+            continue
+        rr = r[idxs]
+        tgt_p.append(np.full(len(idxs), ws, np.int64))
+        ref_p.append(a_slot[rr])
+        lm_p.append(lm_of_row[rr])
+        zr_p.append(a_bear[rr])
+        zt_p.append(f.bearings[idxs])
+    if not tgt_p:
+        z = np.zeros(0, np.int32)
+        return ReprojArrays(tgt=z, ref=z, lm=z,
+                            zr=np.zeros((0, 3)), zt=np.zeros((0, 3)))
+    return ReprojArrays(
+        tgt=np.concatenate(tgt_p).astype(np.int32),
+        ref=np.concatenate(ref_p).astype(np.int32),
+        lm=np.concatenate(lm_p).astype(np.int32),
+        zr=np.concatenate(zr_p), zt=np.concatenate(zt_p),
+    )
 
 
 def _frame_states(frames: List[Frame], W: int) -> FrameStates:
@@ -364,13 +480,25 @@ def _assemble(spec: BASpec, caps: Caps, calib: CalibArrays):
     lm_slot: Dict[int, int] = {}
     invd = np.ones(L)
     opt_lm = np.zeros(L, bool)
-    for t in spec.opt_tracks:
-        if t.id in lm_slot or len(lm_slot) >= L:
-            continue
-        s = len(lm_slot)
-        lm_slot[t.id] = s
-        invd[s] = max(t.inv_depth, 1e-6)
-        opt_lm[s] = True
+    if spec.opt_invd is not None:
+        nl = len(spec.opt_tracks)
+        if nl > L:
+            logging.getLogger(__name__).warning(
+                "solve assembly: landmark budget exhausted (L=%d); "
+                "%d overflow landmarks dropped (raise Caps.L)", L, nl - L,
+            )
+            nl = L
+        invd[:nl] = np.maximum(spec.opt_invd[:nl], 1e-6)
+        opt_lm[:nl] = True
+        lm_slot = {t.id: s for s, t in enumerate(spec.opt_tracks[:nl])}
+    else:
+        for t in spec.opt_tracks:
+            if t.id in lm_slot or len(lm_slot) >= L:
+                continue
+            s = len(lm_slot)
+            lm_slot[t.id] = s
+            invd[s] = max(t.inv_depth, 1e-6)
+            opt_lm[s] = True
 
     # reprojection factors
     o_tgt = np.zeros(O, np.int32)
@@ -380,6 +508,21 @@ def _assemble(spec: BASpec, caps: Caps, calib: CalibArrays):
     o_zt = np.tile([0.0, 0, 1.0], (O, 1))
     o_val = np.zeros(O, bool)
     oi = 0
+    if spec.reproj_arrays is not None:
+        ra = spec.reproj_arrays
+        oi = len(ra.tgt)
+        if oi > O:
+            logging.getLogger(__name__).warning(
+                "solve assembly: observation budget exhausted (O=%d); "
+                "remaining reprojection factors dropped (raise Caps.O)", O,
+            )
+            oi = O
+        o_tgt[:oi] = ra.tgt[:oi]
+        o_ref[:oi] = ra.ref[:oi]
+        o_lm[:oi] = ra.lm[:oi]
+        o_zr[:oi] = ra.zr[:oi]
+        o_zt[:oi] = ra.zt[:oi]
+        o_val[:oi] = True
     for tgt, anchor, track, fixed_depth in spec.reproj:
         if oi >= O:
             logging.getLogger(__name__).warning(
@@ -715,20 +858,13 @@ def _override_prev_states(s, prev: FrameStates, prev_map):
     )
 
 
-@jax.jit
-def _fused_localize_subwindow_chain_jit(
-    pa_loc, pa_sub, j_slot, prev, loc_ip_prev, sub_prev, calib, max_iterations
-):
-    """Per-frame localize + subwindow solve with DEVICE-RESIDENT state
-    chaining (round-4: the estimator twin of the round-3 frontend loop).
-
-    `prev` is the previous subwindow solve's device-resident FrameStates;
-    `loc_ip_prev` (scalar) chains the localize problem's preintegration-prior
-    anchor state; `sub_prev` (W,) seeds the subwindow initial states. The
-    host's mirrors may be one or two refinements stale — the frame-to-frame
-    state dependency (reference sliding_window_tracker.cpp:80-99: localize
-    against the REFINED last subframe) lives entirely on the device, so the
-    host never blocks on a result fetch on this path.
+def _chain_localize_head(pa_loc, prev, loc_ip_prev, calib):
+    """Localize-problem head with DEVICE-RESIDENT chaining: override the
+    preintegration-prior anchor (slot loc_ip_prev of `prev`) and device-
+    predict the new frame's initial state from it (mirrors
+    ops/preintegration_np.predict_mean = reference preintegrator.cpp:102-112),
+    replacing the host's stale-base prediction. Shared by the per-frame
+    subwindow chain and the round-5 async keyframe chain.
 
     Note the prior anchor's bg_i/ba_i stay at the host-assembled values: they
     are also the delta's bias linearization point (the delta was integrated
@@ -755,9 +891,6 @@ def _fused_localize_subwindow_chain_jit(
     )
     pb_loc = pb_loc._replace(imu_prior=ip)
 
-    # device predict of the new frame's initial state from the chained anchor
-    # (mirrors ops/preintegration_np.predict_mean = reference
-    # preintegrator.cpp:102-112), replacing the host's stale-base prediction
     g = F.GRAVITY.astype(dt_)
     t_d = ip.delta.t[0]
     q_i, p_i, v_i = ip.q_i[0], ip.p_i[0], ip.v_i[0]
@@ -777,6 +910,26 @@ def _fused_localize_subwindow_chain_jit(
         q=seed0(s_loc.q, q_pred), p=seed0(s_loc.p, p_pred),
         v=seed0(s_loc.v, v_pred),
         bg=seed0(s_loc.bg, ip.bg_i[0]), ba=seed0(s_loc.ba, ip.ba_i[0]),
+    )
+    return s_loc, invd_loc, pb_loc
+
+
+@jax.jit
+def _fused_localize_subwindow_chain_jit(
+    pa_loc, pa_sub, j_slot, prev, loc_ip_prev, sub_prev, calib, max_iterations
+):
+    """Per-frame localize + subwindow solve with DEVICE-RESIDENT state
+    chaining (round-4: the estimator twin of the round-3 frontend loop).
+
+    `prev` is the previous subwindow solve's device-resident FrameStates;
+    `loc_ip_prev` (scalar) chains the localize problem's preintegration-prior
+    anchor state; `sub_prev` (W,) seeds the subwindow initial states. The
+    host's mirrors may be one or two refinements stale — the frame-to-frame
+    state dependency (reference sliding_window_tracker.cpp:80-99: localize
+    against the REFINED last subframe) lives entirely on the device, so the
+    host never blocks on a result fetch on this path."""
+    s_loc, invd_loc, pb_loc = _chain_localize_head(
+        pa_loc, prev, loc_ip_prev, calib
     )
     res_loc = ba.solve_ba(s_loc, invd_loc, pb_loc, max_iterations=max_iterations)
 
@@ -877,6 +1030,27 @@ def marginalize_spec(spec: BASpec, calib: CalibArrays, caps: Caps) -> F.PriorFac
 # ---------------------------------------------------------------------------
 
 
+def _k_of_row_map(st, frame: Frame) -> np.ndarray:
+    """Store-row -> keypoint-index reverse map of one frame (-1 elsewhere)."""
+    k_of_row = np.full(st.cap, -1, np.int64)
+    rows = st.rows_of(frame.track_ids)
+    v = rows >= 0
+    k_of_row[rows[v]] = np.flatnonzero(v)
+    return k_of_row
+
+
+def _dict_to_row_map(st, d: Optional[Dict[int, int]], fill=-1) -> np.ndarray:
+    """tid->value dict -> store-row-indexed vector (vectorized gather)."""
+    out = np.full(st.cap, fill, np.int64)
+    if d:
+        tids = np.fromiter(d.keys(), np.int64, len(d))
+        vals = np.fromiter(d.values(), np.int64, len(d))
+        rows = st.rows_of(tids)
+        ok = rows >= 0
+        out[rows[ok]] = vals[ok]
+    return out
+
+
 def _assemble_validation(
     tracks: List[Track], frames_by_id: Dict[int, Frame],
     wslot: Dict[int, int], lm_slot_w: Dict[int, int], calib: CalibArrays,
@@ -888,9 +1062,147 @@ def _assemble_validation(
     resolved against the SOLVED states on device — or baked host constants),
     and per keyframe observation the observing window slot + bearing.
 
+    Vectorized over the SoA TrackStore (VERDICT r4 item 3: the per-track
+    obs-dict loops kept bld.kf.assemble at ~19 ms): per-track scalars are
+    store gathers; observations are gathered frame-major through per-frame
+    row->keypoint reverse maps, so cost scales with #window-frames (~15),
+    not #tracks x #obs. The observation ORDER therefore differs from the
+    reference's track-major iteration — validation is segment-sum based and
+    order-insensitive; at Ov overflow any track with a dropped observation
+    fails closed exactly as before.
+
     tri_idx_of_tid maps track id -> row in the in-program triangulation batch
     (the fully-fused keyframe step): those tracks take their inverse depth
     from the triangulation result and are gated on its success."""
+    if tracks:
+        return _assemble_validation_fast(
+            tracks, frames_by_id, wslot, lm_slot_w, calib, Lv, Ov,
+            tri_idx_of_tid,
+        )
+    return _assemble_validation_ref(
+        tracks, frames_by_id, wslot, lm_slot_w, calib, Lv, Ov,
+        tri_idx_of_tid,
+    )
+
+
+def _assemble_validation_fast(
+    tracks, frames_by_id, wslot, lm_slot_w, calib, Lv, Ov, tri_idx_of_tid
+):
+    n = min(len(tracks), Lv)
+    if len(tracks) > Lv:
+        logging.getLogger(__name__).warning(
+            "validation capacity exceeded: %d tracks > Lv=%d; overflow "
+            "tracks fail validation closed", len(tracks), Lv,
+        )
+    st = tracks[0].store
+    rows = np.fromiter((t.row for t in tracks[:n]), np.int64, n)
+    aids = st.first_fid[rows]
+    fid_arr = np.fromiter(frames_by_id, np.int64, len(frames_by_id))
+    has = np.zeros(Lv, bool)
+    has[:n] = np.isin(aids, fid_arr)
+
+    # anchor slot (window keyframes resolve on-device against solved states)
+    wk = np.fromiter(wslot.keys(), np.int64, len(wslot))
+    wv = np.fromiter(wslot.values(), np.int64, len(wslot))
+    srt = np.argsort(wk)
+    wk, wv = wk[srt], wv[srt]
+    a_slot = np.full(Lv, -1, np.int32)
+    if len(wk):
+        pos = np.clip(np.searchsorted(wk, aids), 0, len(wk) - 1)
+        in_w = (wk[pos] == aids) & has[:n]
+        a_slot[:n] = np.where(in_w, wv[pos], -1)
+
+    # anchor bearings + host camera poses for non-window anchors, gathered
+    # once per distinct anchor frame
+    a_qc = np.tile([1.0, 0, 0, 0], (Lv, 1))
+    a_pc = np.zeros((Lv, 3))
+    z0 = np.tile([0.0, 0, 1.0], (Lv, 1))
+    q_bc, p_bc = calib.q_bc_h, calib.p_bc_h
+    for aid in np.unique(aids[has[:n]]):
+        f = frames_by_id[int(aid)]
+        k_of_row = _k_of_row_map(st, f)
+        sel = np.flatnonzero((aids == aid) & has[:n])
+        ks = k_of_row[rows[sel]]
+        ok = ks >= 0
+        z0[sel[ok]] = f.bearings[ks[ok]]
+        has[sel[~ok]] = False  # anchor link lost: fail closed
+        if int(aid) not in wslot:
+            qc, pc = f.get_pose(q_bc, p_bc)
+            a_qc[sel] = qc
+            a_pc[sel] = pc
+
+    # per-track scalars only for tracks whose anchor survives (`has`):
+    # mirrors the reference twin's early `continue` — anchor-less tracks
+    # keep the -1/1.0 defaults and contribute no observations
+    hv = has[:n]
+    lmw_rows = _dict_to_row_map(st, lm_slot_w)
+    lmw = np.full(Lv, -1, np.int32)
+    lmw[:n] = np.where(hv, lmw_rows[rows], -1)
+    tri_idx = np.full(Lv, -1, np.int32)
+    if tri_idx_of_tid is not None:
+        tri_rows = _dict_to_row_map(st, tri_idx_of_tid)
+        tri_idx[:n] = np.where(hv, tri_rows[rows], -1)
+    invd_h = np.ones(Lv)
+    invd_h[:n] = np.where(hv, st.inv_depth[rows], 1.0)
+
+    # observations, frame-major: per window frame, which validation tracks
+    # does it observe (vti = index into `tracks`)
+    vti_of_row = np.full(st.cap, -1, np.int64)
+    vti_of_row[rows[hv]] = np.flatnonzero(hv)
+    o_ti_parts, o_slot_parts, o_z_parts = [], [], []
+    for fid, ws in wslot.items():
+        f = frames_by_id.get(fid)
+        if f is None:
+            continue
+        rows_f = st.rows_of(f.track_ids)
+        r = np.clip(rows_f, 0, None)
+        msk = (rows_f >= 0) & (vti_of_row[r] >= 0)
+        ks = np.flatnonzero(msk)
+        if len(ks) == 0:
+            continue
+        o_ti_parts.append(vti_of_row[rows_f[ks]])
+        o_slot_parts.append(np.full(len(ks), ws, np.int64))
+        o_z_parts.append(f.bearings[ks])
+
+    o_ti = np.zeros(Ov, np.int32)
+    o_slot = np.zeros(Ov, np.int32)
+    o_z = np.tile([0.0, 0, 1.0], (Ov, 1))
+    o_val = np.zeros(Ov, bool)
+    trunc = np.zeros(Lv, bool)
+    if o_ti_parts:
+        ti_all = np.concatenate(o_ti_parts)
+        slot_all = np.concatenate(o_slot_parts)
+        z_all = np.concatenate(o_z_parts)
+        no = len(ti_all)
+        if no > Ov:
+            logging.getLogger(__name__).warning(
+                "validation observation budget exhausted (Ov=%d); "
+                "truncated tracks fail validation closed", Ov,
+            )
+            trunc[ti_all[Ov:]] = True
+            no = Ov
+        o_ti[:no] = ti_all[:no]
+        o_slot[:no] = slot_all[:no]
+        o_z[:no] = z_all[:no]
+        o_val[:no] = True
+
+    Km = calib.K
+    return {
+        "a_slot": a_slot, "a_qc": a_qc, "a_pc": a_pc, "z0": z0,
+        "lmw": lmw, "tri_idx": tri_idx, "invd_h": invd_h, "has": has,
+        "o_ti": o_ti, "o_slot": o_slot, "o_z": o_z, "o_val": o_val,
+        "trunc": trunc,
+        "fxy": np.array([Km[0, 0], Km[1, 1]]),
+    }
+
+
+def _assemble_validation_ref(
+    tracks: List[Track], frames_by_id: Dict[int, Frame],
+    wslot: Dict[int, int], lm_slot_w: Dict[int, int], calib: CalibArrays,
+    Lv: int, Ov: int, tri_idx_of_tid: Optional[Dict[int, int]] = None,
+):
+    """Track-major per-obs-dict twin of _assemble_validation_fast, kept as
+    the equivalence oracle (tests/test_keyframe_fused.py)."""
     a_slot = np.full(Lv, -1, np.int32)
     a_qc = np.tile([1.0, 0, 0, 0], (Lv, 1))
     a_pc = np.zeros((Lv, 3))
@@ -1058,24 +1370,32 @@ def _marginalize_tail_jit(s_res, invd_res, valid_out, tri_invd, tri_ok,
     return marginalization.marginalize_frame0(s64, invd_m, pb_m)
 
 
-@jax.jit
-def _fused_keyframe_jit(
+def _fused_keyframe_body(
     pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
     pa_w, j_w, wlm_tri, prior, va,
-    calib, max_iterations,
+    calib, max_iterations, prev=None, loc_ip_prev=None,
 ):
     """The sliding-keyframe step as one device program (reference track()
     keyframe branch :80-99): localization solve -> triangulation of pending
     tracks -> window VI-BA (new-frame state and fresh inverse depths chained
     in, factors of failed triangulations gated off) -> landmark validation.
     One dispatch, one fetch. The slot-0 marginalization runs as a separate
-    chained program (`_marginalize_tail_jit`) the host never waits on."""
+    chained program (`_marginalize_tail_jit`) the host never waits on.
+
+    With prev/loc_ip_prev (round 5 async keyframe path), the localization
+    prior anchor chains device-to-device from the previous subwindow solve —
+    the keyframe step then needs no exact host mirror at dispatch time."""
     from rd_vio_tpu.ops.lie import quat_conj, quat_mul, quat_rotate
 
     f64 = jnp.float64
 
     # --- 1. localize the new frame -------------------------------------
-    s_loc, invd_loc, pb_loc = _finalize_problem(pa_loc, calib, None, False)
+    if prev is None:
+        s_loc, invd_loc, pb_loc = _finalize_problem(pa_loc, calib, None, False)
+    else:
+        s_loc, invd_loc, pb_loc = _chain_localize_head(
+            pa_loc, prev, loc_ip_prev, calib
+        )
     res_loc = ba.solve_ba(s_loc, invd_loc, pb_loc, max_iterations=max_iterations)
 
     # --- 2. triangulate pending tracks (f64), solved-frame views chained --
@@ -1130,6 +1450,34 @@ def _fused_keyframe_jit(
         va, s64, invd64, calib.ext, tri_invd=tri_invd, tri_ok=tri_ok
     )
     return res, res_loc, valid_out, tri_ok, tri_invd
+
+
+@jax.jit
+def _fused_keyframe_jit(
+    pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
+    pa_w, j_w, wlm_tri, prior, va,
+    calib, max_iterations,
+):
+    return _fused_keyframe_body(
+        pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
+        pa_w, j_w, wlm_tri, prior, va, calib, max_iterations,
+    )
+
+
+@jax.jit
+def _fused_keyframe_chain_jit(
+    pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
+    pa_w, j_w, wlm_tri, prior, va, prev, loc_ip_prev,
+    calib, max_iterations,
+):
+    """Async keyframe variant (VERDICT r4 item 2): identical step, with the
+    localization prior anchor chained from the previous subwindow solve's
+    device-resident states instead of requiring an exact host mirror."""
+    return _fused_keyframe_body(
+        pa_loc, b, qcw, pcw, m_tri, us, tri_aqc, tri_apc,
+        pa_w, j_w, wlm_tri, prior, va, calib, max_iterations,
+        prev=prev, loc_ip_prev=loc_ip_prev,
+    )
 
 
 def assemble_keyframe_fused(
@@ -1248,6 +1596,72 @@ def solve_keyframe_fused(
         jnp.asarray(mlm_tri), spec_w.prior, calib.tree,
     )
     return res, res_loc, lm_w, valid_out, tri_ok, tri_invd, new_prior
+
+
+def solve_keyframe_fused_async(
+    spec_loc: BASpec, pending: List[Track], spec_w: BASpec,
+    tracks_v: List[Track], spec_m: BASpec,
+    frames_by_id: Dict[int, Frame], calib: CalibArrays, caps: Caps,
+    caps_loc: Optional[Caps] = None, dtype=None, loc_dtype=None,
+    max_iterations: int = 10,
+    prev_states: Optional[FrameStates] = None, loc_ip_prev: int = -1,
+):
+    """Async fused keyframe step (VERDICT r4 item 2): ONE dispatch, NO
+    blocking fetch. The localization prior anchor chains device-to-device
+    from `prev_states` (the previous subwindow solve), so the host mirror
+    may be one refinement stale at dispatch time — the same contract as the
+    round-4 subframe path. Returns (res, lm_w, transfer, new_prior):
+    res.states stays device-resident for the next frame's chain, `transfer`
+    is the tuple to fetch_async (the exact tree solve_keyframe_fused's
+    synchronous fetch used), and the new prior never leaves the device."""
+    KF_FUSED_COUNT.n += 1
+
+    a, lm_w = assemble_keyframe_fused(
+        spec_loc, pending, spec_w, tracks_v, spec_m, frames_by_id, calib,
+        caps, caps_loc=caps_loc, dtype=dtype, loc_dtype=loc_dtype,
+    )
+    if prev_states is not None:
+        res, res_loc, valid_out, tri_ok, tri_invd = _fused_keyframe_chain_jit(
+            a["pa_loc"], jnp.asarray(a["b"]), jnp.asarray(a["qcw"]),
+            jnp.asarray(a["pcw"]), jnp.asarray(a["m_tri"]),
+            jnp.asarray(a["us"]), jnp.asarray(a["tri_aqc"]),
+            jnp.asarray(a["tri_apc"]), a["pa_w"], int(a["j_w"]),
+            jnp.asarray(a["wlm_tri"]), spec_w.prior, a["va"],
+            prev_states, jnp.int32(loc_ip_prev), calib.tree,
+            max_iterations=max_iterations,
+        )
+    else:
+        res, res_loc, valid_out, tri_ok, tri_invd = _fused_keyframe_jit(
+            a["pa_loc"], jnp.asarray(a["b"]), jnp.asarray(a["qcw"]),
+            jnp.asarray(a["pcw"]), jnp.asarray(a["m_tri"]),
+            jnp.asarray(a["us"]), jnp.asarray(a["tri_aqc"]),
+            jnp.asarray(a["tri_apc"]), a["pa_w"], int(a["j_w"]),
+            jnp.asarray(a["wlm_tri"]), spec_w.prior, a["va"], calib.tree,
+            max_iterations=max_iterations,
+        )
+    if device_time.CAPTURE and spec_w.prior is not None:
+        device_time.capture(
+            "keyframe", pa_loc=a["pa_loc"], b=jnp.asarray(a["b"]),
+            qcw=jnp.asarray(a["qcw"]), pcw=jnp.asarray(a["pcw"]),
+            m_tri=jnp.asarray(a["m_tri"]), us=jnp.asarray(a["us"]),
+            tri_aqc=jnp.asarray(a["tri_aqc"]),
+            tri_apc=jnp.asarray(a["tri_apc"]), pa_w=a["pa_w"],
+            j_w=int(a["j_w"]), wlm_tri=jnp.asarray(a["wlm_tri"]),
+            prior=spec_w.prior, va=a["va"], pa_m=a["pa_m"],
+            mlm_vti=jnp.asarray(a["mlm_vti"]),
+            mlm_from_w=jnp.asarray(a["mlm_from_w"]),
+            mlm_tri=jnp.asarray(a["mlm_tri"]), calib=calib.tree,
+            max_iterations=jnp.int32(max_iterations),
+        )
+    new_prior = _marginalize_tail_jit(
+        res.states, res.inv_depth, valid_out, tri_invd, tri_ok,
+        a["pa_m"], jnp.asarray(a["mlm_vti"]), jnp.asarray(a["mlm_from_w"]),
+        jnp.asarray(a["mlm_tri"]), spec_w.prior, calib.tree,
+    )
+    s, sl = res.states, res_loc.states
+    transfer = (s.q, s.p, s.v, s.bg, s.ba, res.inv_depth,
+                sl.q, sl.p, sl.v, sl.bg, sl.ba, valid_out, tri_ok, tri_invd)
+    return res, lm_w, transfer, new_prior
 
 
 def solve_window_validate_marginalize(

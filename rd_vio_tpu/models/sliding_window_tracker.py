@@ -482,12 +482,16 @@ class SlidingWindowTracker:
         osel = ((st.flags[all_rows] & bits) == bits) \
             & np.isin(st.first_fid[all_rows], kf_fids)
         opt_tracks = [m.tracks[int(tid)] for tid in all_tids[osel]]
+        opt_rows = [all_rows[osel]]
         for t in pending:
             anchor = frames_by_id.get(t.first_frame_id())
             if anchor is None or not anchor.tag(FT_KEYFRAME):
                 continue
             opt_tracks.append(t)
+            opt_rows.append(np.asarray([t.row], np.int64))
             pending_ids.add(t.id)
+        opt_rows = np.concatenate(opt_rows)
+        opt_invd = st.inv_depth[opt_rows]
 
         pend_row = np.zeros(st.cap, bool)
         if pending_ids:
@@ -495,21 +499,14 @@ class SlidingWindowTracker:
                                          len(pending_ids)))
             pend_row[prw[prw >= 0]] = True
 
-        reproj = []
-        for f in frames:
-            rows = st.rows_of(f.track_ids)
-            r = np.clip(rows, 0, None)
-            fsel = (rows >= 0) & (
-                ((st.flags[r] & bits) == bits) | pend_row[r]
-            )
-            ff = st.first_fid[r]
-            fsel &= (ff != f.id) & np.isin(ff, kf_fids)
-            idxs = np.flatnonzero(fsel)
-            for k in idxs:
-                reproj.append((
-                    f, frames_by_id[int(ff[k])],
-                    m.tracks[int(f.track_ids[k])], False,
-                ))
+        # reprojection factors, frame-major over the SoA store (VERDICT r4
+        # item 3 — the per-factor tuple loop was the bulk of kf assembly):
+        # anchor slot/bearing resolved through per-row maps built once from
+        # the window keyframes; factor order matches the former tuple loop
+        # (frames outer, keypoint index inner)
+        ra = builders.window_reproj_arrays(
+            st, frames, kf_fids, bits, pend_row, opt_rows, self.caps.L,
+        )
 
         imu = []
         for j in range(1, len(frames)):
@@ -528,7 +525,8 @@ class SlidingWindowTracker:
             fix_pose=[False] * len(frames),
             fix_motion=[False] * len(frames),
             opt_tracks=opt_tracks,
-            reproj=reproj, imu=imu, rot=[], prior=self.prior,
+            reproj=[], imu=imu, rot=[], prior=self.prior,
+            reproj_arrays=ra, opt_invd=opt_invd,
         )
 
     def refine_window(self):
@@ -707,6 +705,20 @@ class SlidingWindowTracker:
 
         from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
 
+        # async path (VERDICT r4 item 2): needs a live device chain for the
+        # localize anchor at the steady caps_fast.W shape. Without one
+        # (first steady keyframe; keyframe immediately after a keyframe,
+        # whose chain states are caps.W-shaped and would compile a separate
+        # program variant) fall through to the sync path — at those points
+        # the host mirror is already exact and one fetch is paid rarely
+        if (getattr(self.config, "sliding_window_keyframe_async", True)
+                and self._dev_sub is not None
+                and self._dev_sub[0].q.shape[0] == self.caps_fast.W):
+            return self._keyframe_dispatch_async(
+                spec_loc, frame_j, pending, pending_ids, spec_w, tracks_v,
+                spec_m, frames_by_id,
+            )
+
         with T.time("swt.kf.dispatch"):
             res, res_loc, lm_w, valid_dev, ok_dev, tri_dev, new_prior = (
                 builders.solve_keyframe_fused(
@@ -736,18 +748,89 @@ class SlidingWindowTracker:
         )
         self._pending_prior = new_prior  # consumed by slide_window
 
+    def _keyframe_dispatch_async(self, spec_loc, frame_j, pending,
+                                 pending_ids, spec_w, tracks_v, spec_m,
+                                 frames_by_id):
+        """Round-5 async keyframe path (VERDICT r4 item 2): one dispatch, NO
+        blocking fetch. The localize anchor chains from the previous
+        subwindow solve's device states; results come back through the same
+        ordered async FIFO as the subframe path, so the host mirror (window
+        states, track flags, the slide_window graph mutation) is at most two
+        frames stale — never timing-dependent. The device chain continues
+        from the keyframe solve's window states."""
+        from rd_vio_tpu.utils.host import fetch_async
+        from rd_vio_tpu.utils.metrics import GLOBAL_TIMER as T
+
+        prev_states, slot_of = self._dev_sub
+        anchor_i = spec_loc.imu_prior[0][0]
+        lip = slot_of.get(anchor_i.id, -1)
+        with T.time("swt.kf.dispatch"):
+            res, lm_w, transfer, new_prior = (
+                builders.solve_keyframe_fused_async(
+                    spec_loc, pending, spec_w, tracks_v, spec_m,
+                    frames_by_id, self.calib, self.caps,
+                    caps_loc=self.caps_fast, dtype=self._window_dtype,
+                    loc_dtype=self._fast_dtype,
+                    max_iterations=self.config.solver_iteration_limit,
+                    prev_states=prev_states, loc_ip_prev=lip,
+                )
+            )
+        self._pending_prior = new_prior
+        self._dev_sub = (
+            res.states, {f.id: i for i, f in enumerate(spec_w.frames)}
+        )
+        spec_w_frames = list(spec_w.frames)
+        # pinned at dispatch: the slide count (at apply time the next frame
+        # is already transiently attached, which would inflate the
+        # size-based loop) and the track pool (tracks born before the apply
+        # must not inherit this solve's validation verdicts)
+        n_slide = max(
+            0, self.map.frame_num - self.config.sliding_window_size
+        )
+        pool_tids = np.fromiter(
+            self.map.tracks, np.int64, len(self.map.tracks)
+        )
+        fut = fetch_async(transfer)
+
+        def apply_fn(tree):
+            (q, p, v, bg, ba_, invd_h, lq, lp, lv, lbg, lba,
+             valid_h, ok_h, tri_h) = tree
+            frame_j.q, frame_j.p, frame_j.v = lq[0], lp[0], lv[0]
+            frame_j.bg, frame_j.ba = lbg[0], lba[0]
+            for i, f in enumerate(spec_w_frames):
+                f.q, f.p, f.v, f.bg, f.ba = q[i], p[i], v[i], bg[i], ba_[i]
+            self._apply_kf_track_results(
+                lm_w, invd_h, pending, pending_ids, ok_h, tri_h,
+                tracks_v, valid_h, pool_tids=pool_tids,
+            )
+            with T.time("swt.marginalize"):
+                self.slide_window(count=n_slide)
+
+        self._pending_subs.append((fut, apply_fn, True))
+        return True
+
     def _apply_kf_track_results(self, lm_w, invd_h, pending, pending_ids,
-                                ok_h, tri_h, tracks_v, valid_h):
+                                ok_h, tri_h, tracks_v, valid_h,
+                                pool_tids=None):
         """Vectorized host application of the fused keyframe step's track
         outcomes: optimized inverse depths, pending-track triangulation
         results (mirror track_landmark :299-309), and landmark validation
-        side effects (mirror _validate_landmarks / reference :304-336)."""
+        side effects (mirror _validate_landmarks / reference :304-336).
+
+        pool_tids: the track pool AT DISPATCH TIME. The async keyframe path
+        applies one frame later, when tracks born at the next frame already
+        exist — the pool-wide "not valid => trash" sweep must not condemn
+        them (they were never in this solve), and every row is re-resolved
+        from its tid because rows of since-erased tracks may have been
+        reallocated."""
         from rd_vio_tpu.models.map import (
             TB_STATIC, TB_TRASH, TB_TRIANGULATED, TB_VALID,
         )
 
         m = self.map
         st = m.store
+        if pool_tids is None:
+            pool_tids = np.fromiter(m.tracks, np.int64, len(m.tracks))
         # window inverse depths (non-pending opt tracks)
         if lm_w:
             tids_w = np.fromiter(lm_w.keys(), np.int64, len(lm_w))
@@ -762,8 +845,10 @@ class SlidingWindowTracker:
             st.inv_depth[rows_w[keep]] = invd_h[slots_w[keep]]
         # pending-track outcomes
         if pending:
-            rows_p = np.array([t.row for t in pending], np.int64)
-            ok = np.asarray(ok_h[: len(pending)], bool)
+            tids_p = np.array([t.id for t in pending], np.int64)
+            rows_p = st.rows_of(tids_p)
+            live_p = rows_p >= 0
+            ok = np.asarray(ok_h[: len(pending)], bool) & live_p
             sl = np.array([lm_w.get(t.id, -1) for t in pending], np.int64)
             depth_new = np.where(
                 sl >= 0, invd_h[np.clip(sl, 0, None)],
@@ -773,25 +858,31 @@ class SlidingWindowTracker:
             st.inv_depth[rok] = depth_new[ok]
             st.flags[rok] |= TB_TRIANGULATED | TB_VALID | TB_STATIC
             st.life[rok] = 1
-            rbad = rows_p[~ok]
+            rbad = rows_p[~ok & live_p]
             st.inv_depth[rbad] = -1.0
             st.flags[rbad] &= ~(TB_TRIANGULATED | TB_VALID)
-        # validation side effects over the whole pool
-        all_rows = st.rows_of(np.fromiter(m.tracks, np.int64, len(m.tracks)))
+        # validation side effects over the dispatch-time pool
+        all_rows = st.rows_of(np.asarray(pool_tids, np.int64))
+        all_rows = all_rows[all_rows >= 0]
         fl = st.flags[all_rows]
         st.inv_depth[all_rows[(fl & TB_TRIANGULATED) == 0]] = -1.0
         if len(tracks_v):
-            rows_v = np.array([t.row for t in tracks_v], np.int64)
+            tids_v = np.array([t.id for t in tracks_v], np.int64)
+            rows_v = st.rows_of(tids_v)
+            live_v = rows_v >= 0
             nv = min(len(rows_v), len(valid_h))
             rv = rows_v[:nv]
-            tri_now = (st.flags[rv] & TB_TRIANGULATED) != 0
+            lv = live_v[:nv]
+            tri_now = ((st.flags[np.clip(rv, 0, None)] & TB_TRIANGULATED)
+                       != 0) & lv
             vh = np.asarray(valid_h[:nv], bool) & tri_now
             set_r = rv[tri_now & vh]
             clr_r = rv[tri_now & ~vh]
             st.flags[set_r] |= TB_VALID
             st.flags[clr_r] &= ~TB_VALID
             # beyond validation capacity: fail closed
-            st.flags[rows_v[nv:]] &= ~TB_VALID
+            tail = rows_v[nv:][live_v[nv:]]
+            st.flags[tail] &= ~TB_VALID
         fl = st.flags[all_rows]
         st.flags[all_rows[(fl & TB_VALID) == 0]] |= TB_TRASH
 
@@ -827,12 +918,21 @@ class SlidingWindowTracker:
         self._pending_prior = new_prior  # consumed by slide_window
 
     # ------------------------------------------------------------------
-    def slide_window(self):
+    def slide_window(self, count: Optional[int] = None):
         """Marginalize oldest keyframes while the window is oversized
         (reference :339-347). The first marginalization may already have run
-        inside the fused keyframe-tail program (its prior is pending)."""
+        inside the fused keyframe-tail program (its prior is pending).
+
+        count: exact number of frames to marginalize — the async keyframe
+        path runs this in a deferred apply, at which point the NEXT frame is
+        already transiently attached to the map, so the size-based loop
+        would pop one keyframe too many; the dispatcher-time count pins the
+        synchronous semantics."""
         m = self.map
-        while m.frame_num > self.config.sliding_window_size:
+        while (m.frame_num > self.config.sliding_window_size
+               if count is None else count > 0):
+            if count is not None:
+                count -= 1
             victim = m.get_frame(0)
             for sub in victim.subframes:
                 m.untrack_frame(sub)
@@ -857,7 +957,6 @@ class SlidingWindowTracker:
         m = self.map
         st = m.store
         victim = frames[0]
-        fid_set = {f.id for f in frames}
 
         kf_fids = np.fromiter(
             (f.id for f in frames if f.tag(FT_KEYFRAME)), np.int64,
@@ -875,17 +974,16 @@ class SlidingWindowTracker:
             vsel &= ((fl & TB_VALID) != 0) & (st.inv_depth[r] > 0)
         vsel &= np.isin(st.first_fid[r], kf_fids)
 
-        reproj = []
-        tracks = []
-        for k in np.flatnonzero(vsel):
-            t = m.tracks[int(victim.track_ids[k])]
-            aid = t.first_frame_id()
-            tracks.append(t)
-            anchor = frames_by_id[aid]
-            for fid, kk in t.obs.items():
-                if fid == anchor.id or fid not in fid_set:
-                    continue
-                reproj.append((frames_by_id[fid], anchor, t, False))
+        sel_k = np.flatnonzero(vsel)
+        tracks = [m.tracks[int(victim.track_ids[k])] for k in sel_k]
+        track_rows = r[sel_k]
+        # victim-anchored reprojection factors over the window frames,
+        # vectorized frame-major (VERDICT r4 item 3); top-level-frame
+        # membership is implicit — only `frames` are iterated
+        ra = builders.marg_reproj_arrays(
+            st, frames, kf_fids, track_rows, self.caps.L,
+        )
+        opt_invd = st.inv_depth[track_rows]
 
         imu = []
         if len(frames) >= 2:
@@ -903,7 +1001,8 @@ class SlidingWindowTracker:
             frames=frames,
             fix_pose=[False] * len(frames),
             fix_motion=[False] * len(frames),
-            opt_tracks=tracks, reproj=reproj, imu=imu, rot=[], prior=self.prior,
+            opt_tracks=tracks, reproj=[], imu=imu, rot=[], prior=self.prior,
+            reproj_arrays=ra, opt_invd=opt_invd,
         )
 
     def _marginalize_frame0(self):
@@ -1118,9 +1217,11 @@ class SlidingWindowTracker:
         self._dev_sub = (
             res.states, {f.id: i for i, f in enumerate(spec.frames)}
         )
-        self._pending_subs.append(
-            (fetch_async(builders.result_transfer_tree(res)), spec, lm_slot)
-        )
+        self._pending_subs.append((
+            fetch_async(builders.result_transfer_tree(res)),
+            lambda tree: builders.apply_result_np(tree, spec, lm_slot),
+            False,
+        ))
 
     def drain_pending(self, block: bool = True):
         """Refresh the host mirror from deferred subwindow results, applying
@@ -1128,18 +1229,23 @@ class SlidingWindowTracker:
 
         block=True (keyframe path, checkpointing, final state reads) waits
         for every in-flight result — afterwards the host mirror is exact.
-        block=False (the per-frame path) keeps exactly ONE result in flight:
-        with two queued, the older is applied (waiting if needed), so the
-        host mirror is deterministically one-to-two refinements stale —
-        never timing-dependent (a completion-based fast path would make
-        trajectories irreproducible; SURVEY §4.6 determinism). Solve
-        correctness does not depend on this mirror — the device chain
-        carries the fresh states (_dev_sub)."""
+        block=False (the per-frame path) keeps exactly ONE SUBFRAME result
+        in flight: with two queued, the older is applied (waiting if
+        needed), so the host mirror is deterministically one-to-two
+        refinements stale — never timing-dependent (a completion-based fast
+        path would make trajectories irreproducible; SURVEY §4.6
+        determinism). A pending KEYFRAME apply (round-5 async keyframe
+        path) is always applied, even as the sole entry: its track-flag and
+        window-slide side effects feed the NEXT keyframe decision, and its
+        fetch has had a full frame interval to land. Solve correctness does
+        not depend on this mirror — the device chain carries the fresh
+        states (_dev_sub)."""
         while self._pending_subs:
-            if not block and len(self._pending_subs) == 1:
+            if (not block and len(self._pending_subs) == 1
+                    and not self._pending_subs[0][2]):
                 return
-            fut, spec, lm_slot = self._pending_subs.pop(0)
-            builders.apply_result_np(fut.wait(), spec, lm_slot)
+            fut, apply_fn, _ = self._pending_subs.pop(0)
+            apply_fn(fut.wait())
 
     # ------------------------------------------------------------------
     # IMU-PARSAC dynamic-object rejection (reference :557-769)

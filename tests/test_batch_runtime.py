@@ -46,9 +46,10 @@ def batched_run():
     configs = [c for c, _ in pairs]
     seqs = [s for _, s in pairs]
     backends = [SyntheticBackend(s) for s in seqs]
-    n_frames, est, stamps = run_sequences_lockstep(
+    n_frames, est, stamps, kf_flushes = run_sequences_lockstep(
         configs, backends, seqs, caps=CAPS
     )
+    assert kf_flushes[-1] >= 3, "lockstep run never reached batched steady"
     return seqs, n_frames, est
 
 

@@ -18,6 +18,10 @@ def _run(duration=5.0):
     cfg = Config()
     cfg.camera_intrinsic = seq.K_mat
     cfg.ransac_hypotheses = 128
+    # program-equivalence test: compare the fused program against the
+    # two-program sequence under the SAME (synchronous) scheduling — the
+    # round-5 async FIFO scheduling is covered by the e2e suites
+    cfg.sliding_window_keyframe_async = False
     caps = builders.Caps(W=13, L=256, O=1536, Fi=16, R=128, IMU=64, IMU_KF=384)
     odo = Odometry(cfg, SyntheticBackend(seq), caps=caps)
     events = sorted(
