@@ -72,38 +72,46 @@ def _batched_sub_jit(pa_loc, pa_sub, j_slots, chain, lip, sp, active, calib,
 
 
 @jax.jit
-def _batched_kf_jit(arrays, priors, kf_mask, calib, max_iterations):
-    """N fused keyframe steps + chained marginalizations as ONE program
-    (vmap of builders._fused_keyframe_jit + _marginalize_tail_jit). The
-    batched prior tree is updated only on rows whose sequence actually
-    keyframed this tick (kf_mask); other rows carry dummy problems whose
-    outputs are discarded."""
+def _batched_kf_jit(arrays, priors, calib, max_iterations):
+    """N fused keyframe steps as ONE program (vmap of
+    builders._fused_keyframe_jit). The marginalizations run as a SEPARATE
+    chained program (_batched_marg_jit) dispatched right after — exactly the
+    single-sequence split (builders.py): the host's synchronous fetch of the
+    keyframe results then never waits on the f64 marginalization, which
+    overlaps the following ticks on the device."""
     def one(a, prior):
-        res, res_loc, valid_out, tri_ok, tri_invd = (
-            builders._fused_keyframe_jit.__wrapped__(
-                a["pa_loc"], a["b"], a["qcw"], a["pcw"], a["m_tri"], a["us"],
-                a["tri_aqc"], a["tri_apc"], a["pa_w"], a["j_w"], a["wlm_tri"],
-                prior, a["va"], calib, max_iterations,
-            )
+        return builders._fused_keyframe_jit.__wrapped__(
+            a["pa_loc"], a["b"], a["qcw"], a["pcw"], a["m_tri"], a["us"],
+            a["tri_aqc"], a["tri_apc"], a["pa_w"], a["j_w"], a["wlm_tri"],
+            prior, a["va"], calib, max_iterations,
         )
-        new_prior = builders._marginalize_tail_jit.__wrapped__(
-            res.states, res.inv_depth, valid_out, tri_invd, tri_ok,
-            a["pa_m"], a["mlm_vti"], a["mlm_from_w"], a["mlm_tri"],
-            prior, calib,
-        )
-        return res, res_loc, valid_out, tri_ok, tri_invd, new_prior
 
-    res, res_loc, valid_out, tri_ok, tri_invd, new_priors = jax.vmap(one)(
-        arrays, priors
-    )
-    upd_priors = jax.tree_util.tree_map(
-        _mask_rows(kf_mask), new_priors, priors
-    )
+    res, res_loc, valid_out, tri_ok, tri_invd = jax.vmap(one)(arrays, priors)
     s = res.states
     sl = res_loc.states
     transfer = (s.q, s.p, s.v, s.bg, s.ba, res.inv_depth,
                 sl.q, sl.p, sl.v, sl.bg, sl.ba, valid_out, tri_ok, tri_invd)
-    return upd_priors, transfer
+    return res, valid_out, tri_ok, tri_invd, transfer
+
+
+@jax.jit
+def _batched_marg_jit(res_states, res_invd, valid_out, tri_ok, tri_invd,
+                      arrays, priors, kf_mask, calib):
+    """N chained slot-0 marginalizations (vmap of _marginalize_tail_jit);
+    the batched prior tree updates only on rows whose sequence actually
+    keyframed this tick (kf_mask) — dummy rows keep their prior. Output
+    stays device-resident; the host never fetches it."""
+    def one(s, invd, v, ok, ti, a, prior):
+        return builders._marginalize_tail_jit.__wrapped__(
+            s, invd, v, ti, ok,
+            a["pa_m"], a["mlm_vti"], a["mlm_from_w"], a["mlm_tri"],
+            prior, calib,
+        )
+
+    new_priors = jax.vmap(one)(
+        res_states, res_invd, valid_out, tri_ok, tri_invd, arrays, priors
+    )
+    return jax.tree_util.tree_map(_mask_rows(kf_mask), new_priors, priors)
 
 
 @jax.jit
@@ -182,6 +190,8 @@ class BatchDispatcher:
         self.n = n
         self.calib = calib
         self.max_iterations = int(max_iterations)
+        # submissions may arrive from the driver's host worker pool
+        self._submit_lock = threading.Lock()
         # per-tick submissions
         self._sub: Dict[int, tuple] = {}
         self._kf: Dict[int, tuple] = {}
@@ -228,15 +238,17 @@ class BatchDispatcher:
     def submit_sub(self, i: int, pa_loc, pa_sub, j_slot: int,
                    loc_ip_prev: int, sub_prev: np.ndarray) -> RowFuture:
         shared = _SharedFetch()
-        self._sub[i] = (pa_loc, pa_sub, np.int32(j_slot),
-                        np.int32(loc_ip_prev),
-                        np.asarray(sub_prev, np.int32), shared)
+        with self._submit_lock:
+            self._sub[i] = (pa_loc, pa_sub, np.int32(j_slot),
+                            np.int32(loc_ip_prev),
+                            np.asarray(sub_prev, np.int32), shared)
         return RowFuture(shared, i)
 
     def submit_kf(self, i: int, arrays: dict, continuation) -> RowFuture:
         shared = _SharedFetch()
-        self._kf[i] = (arrays, shared)
-        self._kf_continuations.append(continuation)
+        with self._submit_lock:
+            self._kf[i] = (arrays, shared)
+            self._kf_continuations.append(continuation)
         return RowFuture(shared, i)
 
     # -- the tick barrier --------------------------------------------------
@@ -269,9 +281,16 @@ class BatchDispatcher:
                     arrays = next(iter(self._kf.values()))[0]
             rows.append(arrays)
         stacked = _stack_trees(rows)
-        self._priors, transfer = _batched_kf_jit(
+        res, valid_out, tri_ok, tri_invd, transfer = _batched_kf_jit(
+            stacked, self._priors, self.calib.tree, self.max_iterations,
+        )
+        # marginalizations chain as a second device program the host never
+        # waits on (the f64 marginalization is the most expensive piece of
+        # the keyframe tail on TPU — fusing it into the fetched program made
+        # the tick block ~350 ms at N=4)
+        self._priors = _batched_marg_jit(
+            res.states, res.inv_depth, valid_out, tri_ok, tri_invd,
             stacked, self._priors, jnp.asarray(mask), self.calib.tree,
-            self.max_iterations,
         )
         # synchronous fetch: keyframe results gate host bookkeeping (window
         # states, track flags, marginalization host tail) before the next

@@ -29,7 +29,8 @@ from rd_vio_tpu.models.odometry import Odometry
 
 
 class BatchedVIO:
-    def __init__(self, configs: List, backends: List, caps=None):
+    def __init__(self, configs: List, backends: List, caps=None,
+                 host_workers: int = 2):
         assert len(configs) == len(backends) and len(configs) >= 1
         self.n = len(configs)
         self.odos: List[Odometry] = []
@@ -49,6 +50,18 @@ class BatchedVIO:
                 BatchSWT, dispatcher=self.disp, seq_index=i
             )
             self.odos.append(odo)
+        # per-tick host work is sequence-independent (separate maps, RNGs
+        # and submission slots); a small worker pool overlaps the NumPy
+        # portions (which release the GIL) across cores. Results are
+        # deterministic — only continuation ORDER across sequences varies,
+        # and continuations touch disjoint per-sequence state.
+        self._pool = None
+        if host_workers > 1 and self.n > 1:
+            import concurrent.futures as cf
+
+            self._pool = cf.ThreadPoolExecutor(
+                max_workers=host_workers, thread_name_prefix="rdvio-batch"
+            )
 
     # -- lockstep ingestion -----------------------------------------------
     def add_motion(self, i: int, t: float, gyro, accel):
@@ -58,9 +71,17 @@ class BatchedVIO:
         """One lockstep tick: frames[i] = (t, image) or None for a sequence
         with no frame this tick. All host pipelines advance one frame, then
         the dispatcher flushes the tick's coalesced device work."""
-        for i, fr in enumerate(frames):
-            if fr is not None:
-                self.odos[i].add_frame(fr[0], fr[1])
+        if self._pool is not None:
+            futs = [
+                self._pool.submit(self.odos[i].add_frame, fr[0], fr[1])
+                for i, fr in enumerate(frames) if fr is not None
+            ]
+            for f in futs:
+                f.result()
+        else:
+            for i, fr in enumerate(frames):
+                if fr is not None:
+                    self.odos[i].add_frame(fr[0], fr[1])
         self.disp.flush()
 
     def states(self):
@@ -75,6 +96,8 @@ class BatchedVIO:
         self.disp.flush()
         for odo in self.odos:
             odo.close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
 
 def run_sequences_lockstep(

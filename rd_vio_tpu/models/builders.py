@@ -62,6 +62,13 @@ class Caps:
     IMU: int = 96  # imu samples per frame interval
     IMU_KF: int = 512  # imu samples per keyframe chain
     TRI_VIEWS: int = 24  # views per track in batched triangulation
+    # pad size of the PER-KEYFRAME in-program triangulation batch. Pending
+    # (not-yet-triangulated) tracks per keyframe are ~1-10 in steady state;
+    # padding this batch to L (round 1-4 behavior) made the f64 DLT eigh of
+    # 256 dummy slots a dominant slice of the fused keyframe program's
+    # device time (measured round 5 via the batched runtime's kf flush).
+    # Overflow pends to the next keyframe with a loud warning, as before.
+    TRI_PAD: int = 64
 
 
 class CalibTree(NamedTuple):
@@ -1752,9 +1759,17 @@ def assemble_triangulation(
     pose on-device."""
     V = caps.TRI_VIEWS
     n = len(tracks)
-    # pad the batch to the landmark capacity: a varying batch size would
-    # recompile the jitted triangulation on the per-keyframe hot path
-    n_cap = caps.L if n <= caps.L else n
+    # pad the batch to a FIXED small capacity: a varying batch size would
+    # recompile the jitted triangulation on the per-keyframe hot path, and
+    # padding all the way to L made dummy f64 DLT slots dominate the fused
+    # keyframe program (Caps.TRI_PAD). Larger pending sets escalate to the
+    # next stable size rather than failing.
+    if n <= caps.TRI_PAD:
+        n_cap = caps.TRI_PAD
+    elif n <= caps.L:
+        n_cap = caps.L
+    else:
+        n_cap = n
     b = np.tile([0.0, 0, 1.0], (n_cap, V, 1))
     qcw = np.tile([1.0, 0, 0, 0], (n_cap, V, 1))
     pcw = np.zeros((n_cap, V, 3))
