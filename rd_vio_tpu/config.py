@@ -163,8 +163,10 @@ class Config:
     # imu_parsac.h:135-140: N = log(1-0.999)/log(1-ratio^5), shrinking as
     # better models appear and growing back toward parsac_max_iteration in
     # dynamic-heavy scenes — VERDICT r4 item 7) and use this value only as
-    # the evaluation chunk size.
-    parsac_judge_hypotheses: int = 64
+    # the evaluation chunk size (32: the adaptive bound on benign frames is
+    # ~5-20, so one chunk usually suffices and the chunk size IS the
+    # judge's per-frame host cost; A/B table in BASELINE.md round-5).
+    parsac_judge_hypotheses: int = 32
     # adaptive-iteration cap for the HOST PARSAC twins — the reference's
     # max_iteration (stereo.cpp:127 / pnp.h:170 defaults: 1000)
     parsac_max_iteration: int = 1000

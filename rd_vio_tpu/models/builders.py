@@ -1896,7 +1896,8 @@ def get_landmark_points_batch(tracks: List[Track], frames_by_id, calib: CalibArr
     per distinct anchor frame; the per-track quat math of get_landmark_point
     costs ~0.1-0.3 ms each in small-op NumPy). The anchor keypoint index is
     gathered through the anchor frame's row->keypoint reverse map (SoA
-    store), not per-track obs dict lookups."""
+    store), not per-track obs dict lookups; the per-anchor loop only fills
+    shared row maps — the point math is one einsum over all tracks."""
     out = np.zeros((len(tracks), 3))
     if not tracks:
         return out
@@ -1904,17 +1905,23 @@ def get_landmark_points_batch(tracks: List[Track], frames_by_id, calib: CalibArr
     rows = np.array([t.row for t in tracks], np.int64)
     aids = st.first_fid[rows]
     invd = st.inv_depth[rows]
-    for aid in np.unique(aids):
+    uaids, inv = np.unique(aids, return_inverse=True)
+    Rs = np.empty((len(uaids), 3, 3))
+    ps = np.empty((len(uaids), 3))
+    bearing_of_row = np.zeros((st.cap, 3))
+    for ui, aid in enumerate(uaids):
         f = frames_by_id[int(aid)]
         qc, pc = f.get_pose(calib.q_bc_h, calib.p_bc_h)
-        R = q_to_R(qc)
-        k_of_row = np.full(st.cap, -1, np.int64)
+        Rs[ui] = q_to_R(qc)
+        ps[ui] = pc
         fr = st.rows_of(f.track_ids)
-        fv = fr >= 0
-        k_of_row[fr[fv]] = np.flatnonzero(fv)
-        sel = aids == aid
-        z = f.bearings[k_of_row[rows[sel]]]
-        out[sel] = (z / invd[sel][:, None]) @ R.T + pc
+        # only rows ANCHORED at this frame: a track observed by several of
+        # the anchor frames must keep its own anchor's bearing (a plain
+        # fv-masked write would let the last-iterated observer win)
+        msk = (fr >= 0) & (st.first_fid[np.clip(fr, 0, None)] == f.id)
+        bearing_of_row[fr[msk]] = f.bearings[msk]
+    z = bearing_of_row[rows] / np.maximum(invd, 1e-12)[:, None]
+    out[:] = np.einsum("nij,nj->ni", Rs[inv], z) + ps[inv]
     return out
 
 

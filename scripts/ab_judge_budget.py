@@ -153,7 +153,8 @@ def main():
     variants = [
         ("fixed-64 (round-4)", 64, 64),
         ("fixed-256", 256, 256),
-        ("adaptive-1000 (round-5 default)", 64, 1000),
+        ("adaptive-1000 chunk-64", 64, 1000),
+        ("adaptive-1000 chunk-32 (round-5 default)", 32, 1000),
     ]
     rows = []
     for name, chunk, cap in variants:
