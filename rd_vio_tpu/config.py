@@ -170,6 +170,15 @@ class Config:
     # adaptive-iteration cap for the HOST PARSAC twins — the reference's
     # max_iteration (stereo.cpp:127 / pnp.h:170 defaults: 1000)
     parsac_max_iteration: int = 1000
+    # subframe-result FIFO depth: how many in-flight subwindow results the
+    # per-frame drain may leave pending (host mirror <= depth+1 refinements
+    # stale, deterministically). Round 4 used 1; at depth 1 the ~25 ms fetch
+    # round trip does not fit inside one frame interval on the tunneled
+    # chip, so every frame's drain blocked ~20-24 ms (bench r5 real-path
+    # stage table). Depth 2 gives each fetch two frame intervals; solve
+    # correctness never depends on the mirror (the device chain carries the
+    # fresh states).
+    sliding_window_fifo_depth: int = 2
     # EXPERIMENTAL async keyframe step (round 5): the fused keyframe program
     # chains its localize anchor from the previous subwindow solve's device
     # states and returns results through the ordered async FIFO — the

@@ -1240,8 +1240,9 @@ class SlidingWindowTracker:
         fetch has had a full frame interval to land. Solve correctness does
         not depend on this mirror — the device chain carries the fresh
         states (_dev_sub)."""
+        depth = getattr(self.config, "sliding_window_fifo_depth", 2)
         while self._pending_subs:
-            if (not block and len(self._pending_subs) == 1
+            if (not block and len(self._pending_subs) <= depth
                     and not self._pending_subs[0][2]):
                 return
             fut, apply_fn, _ = self._pending_subs.pop(0)
