@@ -211,11 +211,14 @@ class Config:
     # dispatch+fetch path
     feature_tracker_device_loop: bool = True
     # in-flight pairs of the device loop before a blocking finalize: each
-    # async result fetch gets this many frame intervals to land (depth 2
-    # keeps the ~25 ms tunnel round trip off the critical path once the
-    # optimizer stage outruns one frame interval); frames reach the
-    # optimizer depth-1 frames later, throughput unchanged
-    feature_tracker_pipeline_depth: int = 2
+    # async result fetch gets this many frame intervals to land; frames
+    # reach the optimizer depth-1 frames later (pure latency, throughput
+    # unchanged). Depth 3 (round 5): with the frame interval down to ~80 ms
+    # and ~34 ms of queued device work per frame, two intervals no longer
+    # covered program + ~25 ms tunnel round trip — ft.finalize blocked
+    # p50 26 ms at depth 2 and p50 1.3 ms at depth 3 (real-pixel bench,
+    # +0.4 fps).
+    feature_tracker_pipeline_depth: int = 3
     # initializer essential hypotheses: False = batched 8-point (device,
     # ops/epipolar), True = Nistér 5-point host solve (ops/essential5; the
     # reference's essential.cpp:9-218 path). A/B: scripts/ab_essential.py —
